@@ -1,0 +1,82 @@
+"""Render configuration.
+
+The reference renderer (jeanfilho/GPU-Heightmap-Raytracer; mount empty this
+round, capability surface pinned by /root/repo/BASELINE.json:5-11) configures
+its pipeline through command-line args and compile-time constants. Here the
+whole feature surface is one frozen, hashable dataclass that is passed as a
+*static* argument to jit — every flag combination compiles to its own fused
+XLA/Pallas program with dead features compiled out, which is the TPU-idiomatic
+equivalent of the reference's template/#ifdef specialization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration (hashable; pass as static arg to jit).
+
+    Mirrors the reference's capability surface (BASELINE.json:7-11):
+      B1: uniform DDA + Lambert        -> traversal="dda",   shading="lambert"
+      B2: max-mip + depth/normal bufs  -> traversal="maxmip", aux_buffers=True
+      B3: shadows + Phong + sky test   -> shadows=True, shading="phong"
+      B4: albedo texture + fog         -> texture=True, fog=True
+      B5: multi-chip tile sharding     -> see hmrt_tpu.distrib
+    """
+
+    # --- image ---
+    width: int = 512
+    height: int = 512
+
+    # --- traversal ---
+    traversal: Literal["dda", "maxmip"] = "maxmip"
+    #: Exact surface model inside a cell. The reference's choice could not be
+    #: verified (empty mount, SURVEY.md section 0); per SURVEY.md C12 both are
+    #: implemented and flag-selectable, default triangle-pair.
+    cell_intersect: Literal["triangle", "bilinear", "flat"] = "triangle"
+    #: Hard cap on march iterations (static bound for lax.while_loop; the
+    #: live-mask empties long before this in practice).
+    max_steps: int = 0  # 0 = auto: 4*N for dda, 8*log2(N)+64 for maxmip
+
+    # --- shading ---
+    shading: Literal["lambert", "phong"] = "lambert"
+    shadows: bool = False
+    fog: bool = False
+    texture: bool = False
+    #: Write depth + world-space-normal aux buffers (BASELINE.json:8).
+    aux_buffers: bool = False
+
+    # --- shading params (float params are baked as compile-time consts) ---
+    ambient: float = 0.15
+    specular: float = 0.5
+    shininess: float = 32.0
+    fog_density: float = 0.0015
+    shadow_softness: float = 0.0  # 0 = hard shadow ray
+
+    # --- precision ---
+    #: dtype for shading arithmetic; traversal always runs f32 for fidelity.
+    shade_dtype: str = "float32"
+
+    # --- performance knobs ---
+    #: Screen-tile height/width for the Pallas kernel path.
+    tile_h: int = 8
+    tile_w: int = 128
+    #: "oracle"  = pure-XLA batched wavefront (runs anywhere, is the spec)
+    #: "pallas"  = fused Pallas tile kernel (TPU)
+    #: "auto"    = pallas when available/fitting, else oracle
+    backend: Literal["auto", "oracle", "pallas"] = "auto"
+
+    @property
+    def resolution(self) -> tuple[int, int]:
+        return (self.height, self.width)
+
+    def steps_for(self, n_cells: int) -> int:
+        if self.max_steps:
+            return self.max_steps
+        if self.traversal == "dda":
+            return 4 * n_cells
+        # max-mip: O(log N) descent/ascent cycles; generous static cap.
+        return 16 * max(n_cells - 1, 1).bit_length() + 64

@@ -1,0 +1,121 @@
+"""Multi-chip rendering: framebuffer sharding over a device mesh (C27/C28).
+
+The reference is single-GPU/single-process — it has no distributed layer at
+all (SURVEY.md section 5 "Distributed communication backend: none"). The
+TPU build adds the capability pinned by BASELINE.json:5,11: shard the
+framebuffer by screen tile across the mesh with the height pyramid
+REPLICATED, render each shard locally, and gather the final image over ICI.
+
+TPU-native design, per the scaling-book recipe: define a 1D Mesh over all
+chips, `shard_map` the single-device renderer over row-bands of the screen
+(rays are embarrassingly parallel — no ring/pipeline pattern is ever needed
+because rays don't interact), and let `jax.lax.all_gather` emit the ICI
+collective for final-image assembly. Scene arrays use replicated specs so
+XLA keeps one HBM copy per chip with zero per-frame traffic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hmrt_tpu.config import RenderConfig
+from hmrt_tpu.core.renderer import shade_hits
+from hmrt_tpu.traversal.march import march_dda, march_maxmip
+from hmrt_tpu.types import Camera, Frame, Scene
+
+
+def make_mesh(devices=None, axis_name: str = "tiles") -> Mesh:
+    """1D device mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
+    """Pin scene arrays with a replicated sharding on the mesh (one HBM copy
+    per chip, no per-frame transfer — BASELINE.json:5 'replicated height
+    pyramid')."""
+    rep = NamedSharding(mesh, P())
+    put = lambda x: jax.device_put(x, rep) if x is not None else None
+    return Scene(heights=put(scene.heights), pyr_flat=put(scene.pyr_flat),
+                 albedo=put(scene.albedo),
+                 light=jax.tree.map(put, scene.light),
+                 n=scene.n, m=scene.m, levels=scene.levels)
+
+
+def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
+                         mesh: Mesh | None = None) -> Frame:
+    """Multi-chip render (SURVEY.md section 3.6): each chip renders its
+    row-band of the screen; the full frame is all-gathered over ICI.
+
+    Pixel-identical to the single-device render (tests/test_sharded.py):
+    the per-ray pipeline is the same jitted math, only the raygen index
+    range differs per shard.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    H, W = config.height, config.width
+    if H % ndev != 0:
+        raise ValueError(f"height {H} must divide evenly over {ndev} devices")
+    return _render_sharded_jit(scene, camera, config, mesh)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh"))
+def _render_sharded_jit(scene: Scene, camera: Camera, config: RenderConfig,
+                        mesh: Mesh) -> Frame:
+    H, W = config.height, config.width
+    ndev = mesh.devices.size
+    band = H // ndev
+
+    # one full-screen ray grid, sharded by row-band; scene+camera replicated
+    eye, dirs = camera.rays(H, W)
+
+    def render_band(dirs_band, scene_rep):
+        d = dirs_band.reshape(-1, 3)
+        dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+        Pn = dx.shape[0]
+        ox = jnp.broadcast_to(eye[0], (Pn,))
+        oy = jnp.broadcast_to(eye[1], (Pn,))
+        oz = jnp.broadcast_to(eye[2], (Pn,))
+        heights_flat = scene_rep.heights.reshape(-1)
+        max_steps = config.steps_for(scene_rep.n_cells)
+        if config.traversal == "dda":
+            res = march_dda(ox, oy, oz, dx, dy, dz, heights_flat,
+                            n=scene_rep.n, max_steps=max_steps,
+                            cell_intersect=config.cell_intersect)
+        else:
+            res = march_maxmip(ox, oy, oz, dx, dy, dz, scene_rep.pyr_flat,
+                               heights_flat, n=scene_rep.n, m=scene_rep.m,
+                               levels=scene_rep.levels, max_steps=max_steps,
+                               cell_intersect=config.cell_intersect)
+        color, depth, normal = shade_hits(scene_rep, config, ox, oy, oz,
+                                          dx, dy, dz, res.hit, res.t)
+        out = (color.reshape(band, W, 3),
+               depth.reshape(band, W),
+               normal.reshape(band, W, 3),
+               res.hit.reshape(band, W))
+        # gather the full framebuffer over ICI (BASELINE.json:5)
+        return jax.tree.map(
+            lambda x: jax.lax.all_gather(x, "tiles", axis=0, tiled=True), out)
+
+    fn = shard_map(
+        render_band, mesh=mesh,
+        in_specs=(P("tiles", None, None), P()),
+        out_specs=P(),
+        # march loop carries start replicated (zeros) and become varying
+        # per-shard; skip the varying-manual-axes check rather than pvary
+        # every carry leaf inside the generic march code
+        check_vma=False,
+    )
+    color, depth, normal, hit = fn(dirs, scene)
+    return Frame(color=color,
+                 depth=depth if config.aux_buffers else None,
+                 normal=normal if config.aux_buffers else None,
+                 hit=hit)

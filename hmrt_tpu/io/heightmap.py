@@ -1,0 +1,144 @@
+"""Heightmap loading & procedural terrain (SURVEY.md C4).
+
+The reference loads a W x H height grid from an image/DEM file with a C++
+image library and normalizes it to world units (SURVEY.md L1; mount empty,
+capability pinned by BASELINE.json:5 "load heightmap"). Formats here:
+
+  - .npy / .npz        (numpy)
+  - .pgm (P2/P5, 8/16-bit)
+  - .png (8/16-bit grayscale or RGB -> luminance), pure-Python codec
+  - .raw / .r32        (flat float32, square)
+  - .asc               (ESRI ASCII grid DEM)
+
+plus procedural fBm terrain for the benchmark configs (BASELINE.json:7
+"256^2 procedural heightmap").
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+from hmrt_tpu.io import image as _image
+
+
+def normalize_heights(h: np.ndarray, z_scale: float = None) -> np.ndarray:
+    """Normalize raw sample values to world z units.
+
+    World convention: x/y in grid units [0, N-1]; by default z spans
+    ~12% of the horizontal extent (terrain-like relief), matching the
+    reference's world-scaling step (SURVEY.md L1).
+    """
+    h = np.asarray(h, np.float32)
+    lo, hi = float(h.min()), float(h.max())
+    if hi - lo < 1e-12:
+        return np.zeros_like(h)
+    if z_scale is None:
+        z_scale = 0.12 * (max(h.shape) - 1)
+    return (h - lo) / (hi - lo) * np.float32(z_scale)
+
+
+def load_heightmap(path: str, z_scale: float = None) -> np.ndarray:
+    """Load a heightmap file -> float32 (H, W) array in world z units."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".npy":
+        h = np.load(path)
+    elif ext == ".npz":
+        with np.load(path) as z:
+            h = z[list(z.files)[0]]
+    elif ext == ".pgm":
+        h = _load_pgm(path)
+    elif ext == ".png":
+        h = _image.read_png_gray(path)
+    elif ext in (".raw", ".r32"):
+        flat = np.fromfile(path, dtype=np.float32)
+        n = int(round(len(flat) ** 0.5))
+        if n * n != len(flat):
+            raise ValueError(f"{path}: raw f32 file is not square ({len(flat)} floats)")
+        h = flat.reshape(n, n)
+    elif ext == ".asc":
+        h = _load_esri_ascii(path)
+    else:
+        raise ValueError(f"unsupported heightmap format: {ext}")
+    return normalize_heights(h, z_scale)
+
+
+def _load_pgm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        data = f.read()
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens, pos = [], 0
+    while len(tokens) < 4:
+        m = re.match(rb"\s*(?:#[^\n]*\n)*\s*(\S+)", data[pos:])
+        if not m:
+            raise ValueError(f"{path}: bad PGM header")
+        tokens.append(m.group(1))
+        pos += m.end()
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic == b"P2":
+        vals = np.array(data[pos:].split(), dtype=np.float32)
+        return vals[: w * h].reshape(h, w)
+    if magic == b"P5":
+        dt = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+        pos += 1  # single whitespace after maxval
+        return np.frombuffer(data[pos:pos + w * h * dt.itemsize], dtype=dt).reshape(h, w).astype(np.float32)
+    raise ValueError(f"{path}: unsupported PGM magic {magic!r}")
+
+
+def _load_esri_ascii(path: str) -> np.ndarray:
+    meta, rows = {}, []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0].lower() in ("ncols", "nrows", "xllcorner", "yllcorner",
+                                    "cellsize", "nodata_value"):
+                meta[parts[0].lower()] = float(parts[1])
+            else:
+                rows.append(np.array(parts, dtype=np.float32))
+    h = np.vstack(rows)
+    nodata = meta.get("nodata_value")
+    if nodata is not None:
+        valid = h[h != nodata]
+        fill = valid.min() if valid.size else 0.0
+        h = np.where(h == nodata, fill, h)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Procedural terrain (value-noise fBm), seeded & deterministic.
+# ---------------------------------------------------------------------------
+
+def _value_noise(n: int, cells: int, rng: np.random.Generator) -> np.ndarray:
+    """Bicubic-smoothstep interpolated value noise on an n x n grid."""
+    g = rng.standard_normal((cells + 1, cells + 1)).astype(np.float32)
+    t = np.linspace(0.0, cells, n, endpoint=False, dtype=np.float32)
+    i = np.minimum(t.astype(np.int32), cells - 1)
+    f = t - i
+    s = f * f * (3.0 - 2.0 * f)  # smoothstep
+    g00 = g[np.ix_(i, i)]
+    g10 = g[np.ix_(i + 1, i)]
+    g01 = g[np.ix_(i, i + 1)]
+    g11 = g[np.ix_(i + 1, i + 1)]
+    sy, sx = s[:, None], s[None, :]
+    return (g00 * (1 - sy) * (1 - sx) + g10 * sy * (1 - sx)
+            + g01 * (1 - sy) * sx + g11 * sy * sx)
+
+
+def procedural_terrain(n: int, seed: int = 0, octaves: int = 6,
+                       z_scale: float = None, ridged: bool = True) -> np.ndarray:
+    """Deterministic fBm terrain, float32 (n, n), world z units."""
+    rng = np.random.default_rng(seed)
+    acc = np.zeros((n, n), np.float32)
+    amp, cells = 1.0, 4
+    for _ in range(octaves):
+        layer = _value_noise(n, min(cells, n), rng)
+        if ridged:
+            layer = 1.0 - np.abs(layer)
+        acc += amp * layer
+        amp *= 0.55
+        cells *= 2
+    return normalize_heights(acc, z_scale)

@@ -1,0 +1,97 @@
+"""Heightmap / image I/O round-trips (SURVEY.md C4, C2-replacement)."""
+
+import numpy as np
+import pytest
+
+from hmrt_tpu.io import image as im
+from hmrt_tpu.io.heightmap import load_heightmap, procedural_terrain
+
+
+def test_png_roundtrip_rgb(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.png")
+    im.write_png(p, img)
+    back = im.read_png(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_png_roundtrip_gray(tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (16, 21), dtype=np.uint8)
+    p = str(tmp_path / "g.png")
+    im.write_png(p, img)
+    back = im.read_png(p)
+    np.testing.assert_array_equal(back[:, :, 0], img)
+
+
+def test_png_float_clipping(tmp_path):
+    img = np.array([[[1.5, -0.2, 0.5]]], np.float32)
+    p = str(tmp_path / "c.png")
+    im.write_png(p, img)
+    back = im.read_png(p)
+    np.testing.assert_array_equal(back[0, 0], [255, 0, 128])
+
+
+def test_load_npy(tmp_path):
+    h = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
+    p = str(tmp_path / "h.npy")
+    np.save(p, h)
+    out = load_heightmap(p, z_scale=2.0)
+    assert out.shape == (8, 8)
+    assert out.min() == 0.0 and out.max() == pytest.approx(2.0)
+
+
+def test_load_raw(tmp_path):
+    h = np.arange(16, dtype=np.float32)
+    p = str(tmp_path / "h.r32")
+    h.tofile(p)
+    out = load_heightmap(p, z_scale=1.0)
+    assert out.shape == (4, 4)
+
+
+def test_load_png_heightmap(tmp_path):
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    p = str(tmp_path / "h.png")
+    im.write_png(p, img)
+    out = load_heightmap(p, z_scale=3.0)
+    assert out.shape == (16, 16)
+    assert out.max() == pytest.approx(3.0)
+
+
+def test_load_pgm_ascii_and_binary(tmp_path):
+    p = str(tmp_path / "a.pgm")
+    with open(p, "w") as f:
+        f.write("P2\n# comment\n3 2\n255\n0 128 255\n64 32 16\n")
+    out = load_heightmap(p, z_scale=1.0)
+    assert out.shape == (2, 3)
+    assert out[0, 2] == pytest.approx(1.0)
+
+    p2 = str(tmp_path / "b.pgm")
+    data = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    with open(p2, "wb") as f:
+        f.write(b"P5\n3 2\n255\n")
+        f.write(data.tobytes())
+    out2 = load_heightmap(p2, z_scale=5.0)
+    assert out2.shape == (2, 3)
+    assert out2.max() == pytest.approx(5.0)
+
+
+def test_load_esri_ascii(tmp_path):
+    p = str(tmp_path / "d.asc")
+    with open(p, "w") as f:
+        f.write("ncols 3\nnrows 2\nxllcorner 0\nyllcorner 0\ncellsize 30\n"
+                "NODATA_value -9999\n1 2 3\n4 -9999 6\n")
+    out = load_heightmap(p, z_scale=1.0)
+    assert out.shape == (2, 3)
+    assert np.isfinite(out).all()
+
+
+def test_procedural_deterministic():
+    a = procedural_terrain(32, seed=5)
+    b = procedural_terrain(32, seed=5)
+    c = procedural_terrain(32, seed=6)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-3
+    assert a.shape == (32, 32) and a.dtype == np.float32

@@ -1,0 +1,50 @@
+"""Multi-chip shard_map render == single-device render (SURVEY.md 4.4).
+
+Runs on 8 virtual CPU devices (conftest sets
+--xla_force_host_platform_device_count=8); mesh logic is device-count
+generic so this proves the collective/gather plumbing without a pod.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from hmrt_tpu.config import RenderConfig
+from hmrt_tpu.core.renderer import render_frame
+from hmrt_tpu.distrib.mesh import make_mesh, render_frame_sharded, replicate_scene
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_render_pixel_identical(scene64, camera64):
+    mesh = make_mesh()
+    sc = replicate_scene(scene64, mesh)
+    cfg = RenderConfig(width=64, height=64, aux_buffers=True)
+    fr_s = render_frame_sharded(sc, camera64, cfg, mesh)
+    fr_1 = render_frame(scene64, camera64, cfg)
+    np.testing.assert_array_equal(np.asarray(fr_s.hit), np.asarray(fr_1.hit))
+    # colors agree to float ulp (XLA fuses the shaded band differently
+    # across the shard_map boundary); hits are exact
+    np.testing.assert_allclose(np.asarray(fr_s.color), np.asarray(fr_1.color),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fr_s.depth), np.asarray(fr_1.depth),
+                               rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_full_features(scene64, camera64):
+    mesh = make_mesh()
+    sc = replicate_scene(scene64, mesh)
+    cfg = RenderConfig(width=32, height=32, shading="phong", shadows=True,
+                       fog=True)
+    fr_s = render_frame_sharded(sc, camera64, cfg, mesh)
+    fr_1 = render_frame(scene64, camera64, cfg)
+    np.testing.assert_allclose(np.asarray(fr_s.color), np.asarray(fr_1.color),
+                               atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_uneven_height_raises(scene64, camera64):
+    mesh = make_mesh()
+    with pytest.raises(ValueError):
+        render_frame_sharded(scene64, camera64,
+                             RenderConfig(width=16, height=17), mesh)
