@@ -1,0 +1,92 @@
+"""Benchmark runner: executes the B1-B5 configs and emits metric rows
+matching BASELINE.json:2's schema (SURVEY.md section 5, observability)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+
+from hmrt_tpu.api.flythrough import orbit_flythrough
+from hmrt_tpu.bench.configs import BENCH_CONFIGS, BenchConfig, bench_scene
+from hmrt_tpu.bench.timing import time_animation
+from hmrt_tpu.types import Camera
+
+
+def run_bench(name: str, frames: int | None = None, scale: float = 1.0,
+              reps: int = 3) -> dict:
+    """Run one named benchmark config; returns a metric row dict.
+
+    `scale` < 1 shrinks the framebuffer (CI smoke mode, SURVEY.md 4.5).
+    """
+    cfg = BENCH_CONFIGS[name]
+    render = cfg.render
+    if scale != 1.0:
+        render = dataclasses.replace(
+            render,
+            width=max(64, int(render.width * scale) // 64 * 64),
+            height=max(64, int(render.height * scale) // 64 * 64),
+        )
+    n_frames = frames or cfg.frames
+
+    t_setup = time.perf_counter()
+    scene, cam, terr = bench_scene(cfg)
+    zmax = float(terr.max())
+    setup_s = time.perf_counter() - t_setup
+
+    if cfg.animated:
+        cams = orbit_flythrough(cfg.map_n, zmax, n_frames)
+    else:
+        # static camera repeated (per-rep salt still varies the dispatch)
+        cams = Camera(
+            eye=jax.numpy.broadcast_to(cam.eye, (n_frames, 3)),
+            target=jax.numpy.broadcast_to(cam.target, (n_frames, 3)),
+            up=jax.numpy.broadcast_to(cam.up, (n_frames, 3)),
+            fov_y=jax.numpy.broadcast_to(cam.fov_y, (n_frames,)),
+        )
+
+    if cfg.sharded and len(jax.devices()) > 1:
+        from hmrt_tpu.distrib.mesh import make_mesh, replicate_scene
+        from hmrt_tpu.distrib.bench import time_animation_sharded
+        mesh = make_mesh()
+        scene = replicate_scene(scene, mesh)
+        stats = time_animation_sharded(scene, cams, render, n_frames,
+                                       mesh, reps=reps)
+        chips = len(jax.devices())
+    else:
+        stats = time_animation(scene, cams, render, n_frames, reps=reps)
+        chips = 1
+
+    row = {
+        "config": name,
+        "description": cfg.description,
+        "resolution": [render.width, render.height],
+        "map": cfg.map_n,
+        "chips": chips,
+        "backend": jax.devices()[0].platform,
+        "setup_s": round(setup_s, 2),
+        **{k: (round(v, 3) if isinstance(v, float) else v)
+           for k, v in stats.items()},
+    }
+    return row
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(description="hmrt_tpu benchmarks (B1-B5)")
+    p.add_argument("configs", nargs="*", default=["B1", "B2", "B3"],
+                   help="which configs to run")
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args(argv)
+    for name in args.configs:
+        row = run_bench(name, frames=args.frames, scale=args.scale,
+                        reps=args.reps)
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

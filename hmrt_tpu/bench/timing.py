@@ -1,0 +1,76 @@
+"""Honest frame timing (SURVEY.md C23).
+
+The reference brackets its CUDA kernel with event timers and reports
+ms/frame + Mrays/s (metric schema per BASELINE.json:2). Two TPU-specific
+hazards are handled here, both observed on real hardware:
+
+  1. remote-tunnel platforms can report async dispatch as "ready"
+     (block_until_ready returns early) — so timing FETCHES a scalar
+     checksum of the result to host, which cannot complete before the
+     computation does;
+  2. repeated identical dispatches may be deduplicated — so every timed
+     repetition perturbs the camera by a sub-pixel salt (workload
+     unchanged, dispatch unique).
+
+Steady-state throughput is measured by scanning F frames inside ONE
+device program (`lax.scan` over a batched camera path, like the
+reference's frame loop) and dividing; this also amortizes host dispatch
+latency out of the per-frame number.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from hmrt_tpu.api.flythrough import frame_camera
+from hmrt_tpu.config import RenderConfig
+from hmrt_tpu.core.renderer import render_frame
+from hmrt_tpu.types import Camera, Scene
+
+
+@partial(jax.jit, static_argnames=("config", "n_frames"))
+def _scan_frames(scene: Scene, cams: Camera, salt, config: RenderConfig,
+                 n_frames: int):
+    """Render n_frames sequentially on device; returns a scalar checksum."""
+
+    def step(carry, i):
+        cam = frame_camera(cams, i)
+        cam = Camera(eye=cam.eye + salt, target=cam.target, up=cam.up,
+                     fov_y=cam.fov_y)
+        fr = render_frame(scene, cam, config)
+        return carry + jnp.sum(fr.color[::16, ::16]), None
+
+    acc, _ = jax.lax.scan(step, jnp.float32(0.0),
+                          jnp.arange(n_frames, dtype=jnp.int32))
+    return acc
+
+
+def time_animation(scene: Scene, cams: Camera, config: RenderConfig,
+                   n_frames: int, reps: int = 3,
+                   render_scan=None) -> dict:
+    """ms/frame (median over reps) for an n_frames on-device animation."""
+    scan = render_scan or _scan_frames
+    # compile + settle buffers
+    float(scan(scene, cams, jnp.zeros(3, jnp.float32), config, n_frames))
+    times = []
+    for rep in range(1, reps + 1):
+        salt = jnp.asarray([rep * 1e-4, -rep * 1e-4, rep * 1e-4], jnp.float32)
+        t0 = time.perf_counter()
+        float(scan(scene, cams, salt, config, n_frames))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    ms = med / n_frames * 1e3
+    rays_per_frame = config.width * config.height * (2 if config.shadows else 1)
+    return {
+        "ms_per_frame": ms,
+        "fps": 1e3 / ms if ms > 0 else float("inf"),
+        "mrays_per_s": rays_per_frame / (ms / 1e3) / 1e6,
+        "frames": n_frames,
+        "reps": reps,
+        "all_times_ms": [t / n_frames * 1e3 for t in times],
+    }
