@@ -18,7 +18,7 @@ from hmrt_tpu.types import Light, Scene
 
 
 def make_scene(heights, albedo=None, light: Light | None = None,
-               device=None) -> Scene:
+               device=None, pack: bool | None = None) -> Scene:
     """Build a device-resident Scene from an (N, N) height grid.
 
     `albedo` is an optional (N, N, 3) float [0,1] texture (SURVEY.md C18),
@@ -43,6 +43,13 @@ def make_scene(heights, albedo=None, light: Light | None = None,
         alb = jnp.asarray(a.reshape(n * n, 3).T.copy())  # (3, N*N) planar
         if device is not None:
             alb = jax.device_put(alb, device)
-    return Scene(heights=heights, pyr_flat=pyr, albedo=alb,
-                 light=light if light is not None else Light.create(),
-                 n=n, m=m, levels=levels)
+    scene = Scene(heights=heights, pyr_flat=pyr, albedo=alb,
+                  light=light if light is not None else Light.create(),
+                  packed=None, n=n, m=m, levels=levels)
+    if pack is None:
+        pack = m >= 64   # brick kernel needs >= 2x2 bricks of 32 cells
+    if pack and m >= 64:
+        from hmrt_tpu.kernels.packing import pack_scene
+        import dataclasses
+        scene = dataclasses.replace(scene, packed=pack_scene(scene))
+    return scene

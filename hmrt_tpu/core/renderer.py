@@ -25,9 +25,32 @@ from hmrt_tpu.types import Camera, Frame, Scene
 SHADOW_EPS = 1e-2
 
 
-@partial(jax.jit, static_argnames=("config",))
 def render_frame(scene: Scene, camera: Camera, config: RenderConfig) -> Frame:
-    """Render one frame with the oracle pipeline (SURVEY.md section 3.2)."""
+    """Render one frame (SURVEY.md section 3.2).
+
+    Backend dispatch (config.backend):
+      "pallas": the fused brick-marching tile kernel (kernels/raycast.py) —
+                the production TPU path;
+      "oracle": the pure-XLA wavefront pipeline below — the fidelity spec,
+                runs on any backend, and the fallback for scenes too small
+                to brick;
+      "auto":   pallas when the scene is packed and a TPU is present.
+    """
+    use_pallas = (config.backend == "pallas"
+                  or (config.backend == "auto"
+                      and scene.packed is not None
+                      and jax.default_backend() == "tpu"))
+    if use_pallas and scene.packed is not None:
+        from hmrt_tpu.kernels.raycast import render_frame_pallas
+        return render_frame_pallas(scene, scene.packed, camera, config,
+                                   interpret=jax.default_backend() != "tpu")
+    return render_frame_oracle(scene, camera, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def render_frame_oracle(scene: Scene, camera: Camera,
+                        config: RenderConfig) -> Frame:
+    """The pure-XLA oracle pipeline (reference renderer, SURVEY.md C20)."""
     H, W = config.height, config.width
     eye, dirs = camera.rays(H, W)
     d = dirs.reshape(-1, 3)

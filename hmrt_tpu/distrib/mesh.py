@@ -46,6 +46,7 @@ def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
     return Scene(heights=put(scene.heights), pyr_flat=put(scene.pyr_flat),
                  albedo=put(scene.albedo),
                  light=jax.tree.map(put, scene.light),
+                 packed=jax.tree.map(put, scene.packed),
                  n=scene.n, m=scene.m, levels=scene.levels)
 
 

@@ -1,0 +1,556 @@
+"""Fused Pallas raycast kernel: raygen + max-mip march + shade per screen tile.
+
+This is the TPU-native replacement for the reference's per-pixel CUDA kernel
+(BASELINE.json:5 "camera ray generation, 2D DDA grid traversal ... and
+maximum-mipmap hierarchical stepping become fused Pallas kernels over screen
+tiles"). One grid step = one 8x128-pixel screen tile = one VPU-register set
+of rays marching in lockstep as a masked wavefront.
+
+How a CUDA texture fetch becomes TPU-legal (see kernels/packing.py):
+
+  COARSE levels (side <= 32, one VMEM buffer): rays start at the pyramid
+  top and skip across empty sky with in-register lane-shuffle gathers —
+  zero HBM traffic until a ray closes in on the terrain.
+
+  FINE levels (bricked in HBM): the tile runs a DEMAND LOOP — the minimum
+  global brick id over live lanes is a scalar, one async DMA pulls that
+  4 KB brick into a vector register, and every lane needing it marches
+  inside it with lane shuffles until it hits, descends, or leaves the
+  brick. Spatially coherent tiles demand few bricks; divergent lanes
+  simply wait their turn (the masked-wavefront restructuring of CUDA's
+  per-thread control flow that BASELINE.json:5 prescribes).
+
+The march math (step_geometry / descend_cell / intersectors) is imported
+from hmrt_tpu.traversal — the SAME jnp functions the oracle renderer runs,
+so hit decisions match the fidelity oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hmrt_tpu.config import RenderConfig
+from hmrt_tpu.core.renderer import SHADOW_EPS
+from hmrt_tpu.kernels.packing import BRICK, PackedScene, brick_offset
+from hmrt_tpu.shading import shade as sh
+from hmrt_tpu.traversal.intersect import BIG_T, INTERSECTORS
+from hmrt_tpu.traversal.march import (T_TOL, EPS_EXIT, descend_cell,
+                                      entry_cell, ray_box_range,
+                                      step_geometry)
+from hmrt_tpu.types import Camera, Frame, Scene
+
+TILE_H, TILE_W = 8, 128
+BIG_KEY = 2 ** 30  # plain int: jnp constants would be captured as kernel consts
+
+# params vector layout (f32[1, 32])
+_P_EYE = 0        # 0-2
+_P_RIGHT = 3      # 3-5
+_P_UP = 6         # 6-8
+_P_FWD = 9        # 9-11
+_P_TANHALF = 12
+_P_ASPECT = 13
+_P_SUN = 14       # 14-16
+_P_SUNCOL = 17    # 17-19
+_P_SKYTOP = 20    # 20-22
+_P_SKYHOR = 23    # 23-25
+_P_FOGCOL = 26    # 26-28
+_P_GMAX = 29
+N_PARAMS = 32
+
+
+def _vreg_gather(buf, idx, rows):
+    """Gather buf[idx >> 7, idx & 127] from a (rows, 128) VMEM value with
+    per-lane (8,128) indices, via a row-broadcast + lane-shuffle chunk loop
+    (Mosaic's dynamic gather is lane-local, so rows are selected by mask)."""
+    col = idx & 127
+    row = idx >> 7
+    acc = jnp.zeros(idx.shape, buf.dtype)
+    for k in range(rows):
+        rowk = jnp.broadcast_to(buf[k:k + 1, :], idx.shape)
+        g = jnp.take_along_axis(rowk, col, axis=1)
+        acc = jnp.where(row == k, g, acc)
+    return acc
+
+
+def _brick_gather(brick, f):
+    """Gather from one (8,128) brick value at in-brick flat index f."""
+    return _vreg_gather(brick, f, 8)
+
+
+def _multi_gather(bufs, f):
+    """Gather the same in-brick index from several (8,128) channel values
+    sharing one chunk loop."""
+    col = f & 127
+    row = f >> 7
+    accs = [jnp.zeros(f.shape, b.dtype) for b in bufs]
+    for k in range(8):
+        sel = row == k
+        for i, b in enumerate(bufs):
+            rowk = jnp.broadcast_to(b[k:k + 1, :], f.shape)
+            g = jnp.take_along_axis(rowk, col, axis=1)
+            accs[i] = jnp.where(sel, g, accs[i])
+    return accs
+
+
+def _cascade_gather(casc_ref, lvl, f, l32):
+    """Gather per-lane cell maxes from the DMA'd level cascade: lane at
+    level l reads casc[l] at in-brick index f (in-brick coords are the same
+    (cell & 31) at every level)."""
+    col = f & 127
+    row = f >> 7
+    acc = jnp.zeros(f.shape, jnp.float32)
+    for l in range(l32):
+        b = casc_ref[l]
+        g = jnp.zeros(f.shape, jnp.float32)
+        for k in range(8):
+            rowk = jnp.broadcast_to(b[k:k + 1, :], f.shape)
+            gk = jnp.take_along_axis(rowk, col, axis=1)
+            g = jnp.where(row == k, gk, g)
+        acc = jnp.where(lvl == l, g, acc)
+    return acc
+
+
+def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
+                   shade_hbm, albedo_hbm,
+                   *out_refs,
+                   casc_scr, corner_scr, shade_scr, albedo_scr, sems,
+                   config: RenderConfig, n: int, m: int, levels: int,
+                   m5: int, l32: int, W: int, H: int,
+                   coarse_cap: int, brick_cap: int, inner_cap: int):
+    intersector = INTERSECTORS[config.cell_intersect]
+    world_max = float(n - 1)
+    nb0sq = m5 * m5
+    shp = (TILE_H, TILE_W)
+
+    def P(i):
+        return params_ref[0, i]
+
+    # ---------------- ray generation (SURVEY.md C9) ----------------
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    ii = (jax.lax.broadcasted_iota(jnp.int32, shp, 0) + ti * TILE_H)
+    jj = (jax.lax.broadcasted_iota(jnp.int32, shp, 1) + tj * TILE_W)
+    in_screen = (ii < H) & (jj < W)
+    ndc_x = (jj.astype(jnp.float32) + 0.5) / W * 2.0 - 1.0
+    ndc_y = 1.0 - (ii.astype(jnp.float32) + 0.5) / H * 2.0
+    sx = ndc_x * P(_P_TANHALF) * P(_P_ASPECT)
+    sy = ndc_y * P(_P_TANHALF)
+    dx = P(_P_FWD + 0) + sx * P(_P_RIGHT + 0) + sy * P(_P_UP + 0)
+    dy = P(_P_FWD + 1) + sx * P(_P_RIGHT + 1) + sy * P(_P_UP + 1)
+    dz = P(_P_FWD + 2) + sx * P(_P_RIGHT + 2) + sy * P(_P_UP + 2)
+    # divide (not rsqrt-multiply) to match Camera.rays' normalization bits
+    nrm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    dx, dy, dz = dx / nrm, dy / nrm, dz / nrm
+    ox = jnp.full(shp, P(_P_EYE + 0))
+    oy = jnp.full(shp, P(_P_EYE + 1))
+    oz = jnp.full(shp, P(_P_EYE + 2))
+
+    cbuf = coarse_ref[:]          # (16,128) coarse pyramid, lives in regs
+    gmax = P(_P_GMAX)
+
+    # coarse-buffer flat index for (lvl, cy, cx), lvl >= l32
+    def coarse_index(lvl, cy, cx):
+        q = lvl - l32
+        side = 32 >> q
+        coff = ((1024 - (1024 >> (2 * q))) * 4) // 3
+        return coff + cy * side + cx
+
+    def global_brick_id(lvl, cy, cx):
+        mm = m5 * m5
+        boff = ((mm - (mm >> (2 * lvl))) * 4) // 3
+        nb = m5 >> lvl
+        return boff + (cy >> 5) * nb + (cx >> 5)
+
+    def march(ox, oy, oz, dx, dy, dz, valid0):
+        """Full coarse+brick max-mip march for one tile of rays.
+
+        Returns (hit, t_hit, hx, hy). Identical traversal math to
+        traversal.march.march_maxmip (shared helpers), restructured into
+        the coarse phase (VMEM) + brick demand loop (HBM DMA).
+        """
+        t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max)
+        valid = valid & valid0
+        # early-out sky test (SURVEY.md C13)
+        sky = ((oz + t0 * dz) > gmax) & (dz >= 0.0)
+        valid = valid & ~sky
+
+        top = levels - 1
+        lvl = jnp.full(shp, top, jnp.int32)
+        icx, icy = entry_cell(ox, oy, dx, dy, t0, lvl, 1)
+        # masks are carried as int32: Mosaic cannot yield i1 vectors
+        # through scf.while
+        st = dict(
+            t=jnp.where(valid, t0, BIG_T),
+            lvl=lvl, icx=icx, icy=icy, alive=valid.astype(jnp.int32),
+            hit=jnp.zeros(shp, jnp.int32),
+            t_hit=jnp.full(shp, BIG_T, jnp.float32),
+            hx=jnp.zeros(shp, jnp.int32), hy=jnp.zeros(shp, jnp.int32),
+        )
+
+        # -------- phase A: coarse march (levels >= l32, zero HBM) --------
+        def a_cond(c):
+            i, st = c
+            return (i < coarse_cap) & jnp.any((st["alive"] != 0)
+                                              & (st["lvl"] >= l32))
+
+        def a_body(c):
+            i, st = c
+            act = (st["alive"] != 0) & (st["lvl"] >= l32)
+            t, lvl, icx, icy = st["t"], st["lvl"], st["icx"], st["icy"]
+            t_exit, nx, ny, b_even = step_geometry(ox, oy, dx, dy, icx, icy, lvl)
+            t_exit_c = jnp.minimum(t_exit, t1)
+            zmin = oz + jnp.minimum(t * dz, t_exit_c * dz)
+            side = m >> lvl
+            cidx = coarse_index(lvl, jnp.clip(icy, 0, side - 1),
+                                jnp.clip(icx, 0, side - 1))
+            cmax = _vreg_gather(cbuf, cidx, 11)
+            skip = zmin > cmax
+            descend = act & ~skip                       # lvl >= l32 >= 1 here
+            advance = act & skip
+            dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy, lvl)
+            ascend = advance & b_even & (lvl < top)
+            new_lvl = jnp.where(descend, lvl - 1,
+                                jnp.where(ascend, lvl + 1, lvl))
+            adv_x = jnp.where(ascend, nx >> 1, nx)
+            adv_y = jnp.where(ascend, ny >> 1, ny)
+            new_icx = jnp.where(descend, dcx, jnp.where(advance, adv_x, icx))
+            new_icy = jnp.where(descend, dcy, jnp.where(advance, adv_y, icy))
+            new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
+            new_side = m >> new_lvl
+            out = advance & ((t_exit >= t1 - EPS_EXIT)
+                             | (new_icx < 0) | (new_icx >= new_side)
+                             | (new_icy < 0) | (new_icy >= new_side))
+            st = dict(st)
+            st["t"] = jnp.where(act, new_t, t)
+            st["lvl"] = jnp.where(act, new_lvl, lvl)
+            st["icx"] = jnp.where(act, new_icx, icx)
+            st["icy"] = jnp.where(act, new_icy, icy)
+            st["alive"] = st["alive"] * (1 - out.astype(jnp.int32))
+            return i + 1, st
+
+        _, st = jax.lax.while_loop(a_cond, a_body, (jnp.int32(0), st))
+
+        # -------- phase B: column-cascade demand loop (levels < l32) --------
+        # Lanes are scheduled by the 32-cell terrain COLUMN their current
+        # cell falls in; one scalar selection DMAs that column's whole level
+        # cascade (one brick per bricked level + the fine-cell corners), so
+        # a lane descends/ascends/marches across all fine levels without
+        # further HBM traffic until it leaves the column sideways.
+        def col_of(st):
+            colx = jnp.clip((st["icx"] << st["lvl"]) >> 5, 0, m5 - 1)
+            coly = jnp.clip((st["icy"] << st["lvl"]) >> 5, 0, m5 - 1)
+            return jnp.where(st["alive"] != 0, coly * m5 + colx, BIG_KEY)
+
+        def b_cond(c):
+            i, st = c
+            return (i < brick_cap) & jnp.any(st["alive"] != 0)
+
+        def b_body(c):
+            i, st = c
+            sel = jnp.min(col_of(st))
+            colx_s = sel % m5
+            coly_s = sel // m5
+
+            # cascade DMA: all bricked levels containing this column
+            for l in range(l32):
+                nb = m5 >> l
+                mm5 = m5 * m5
+                boff = ((mm5 - (mm5 >> (2 * l))) * 4) // 3
+                bid = boff + (coly_s >> l) * nb + (colx_s >> l)
+                pltpu.make_async_copy(bricks_hbm.at[bid], casc_scr.at[l],
+                                      sems.at[l]).start()
+            pltpu.make_async_copy(corners_hbm.at[sel], corner_scr,
+                                  sems.at[l32]).start()
+            for l in range(l32):
+                pltpu.make_async_copy(bricks_hbm.at[0], casc_scr.at[l],
+                                      sems.at[l]).wait()
+            pltpu.make_async_copy(corners_hbm.at[0], corner_scr,
+                                  sems.at[l32]).wait()
+            c00 = corner_scr[0]
+            c10 = corner_scr[1]
+            c01 = corner_scr[2]
+            c11 = corner_scr[3]
+
+            def i_cond(cc):
+                k, st = cc
+                return (k < inner_cap) & jnp.any((st["alive"] != 0)
+                                                 & (col_of(st) == sel))
+
+            def i_body(cc):
+                k, st = cc
+                act = (st["alive"] != 0) & (col_of(st) == sel)
+                t, lvl, icx, icy = st["t"], st["lvl"], st["icx"], st["icy"]
+                t_exit, nx, ny, b_even = step_geometry(ox, oy, dx, dy,
+                                                       icx, icy, lvl)
+                t_exit_c = jnp.minimum(t_exit, t1)
+                zmin = oz + jnp.minimum(t * dz, t_exit_c * dz)
+                f = (icy & 31) * 32 + (icx & 31)
+                cmax = _cascade_gather(casc_scr, lvl, f, l32)
+                skip = zmin > cmax
+                at0 = lvl == 0
+                descend = act & ~skip & ~at0
+                test = act & ~skip & at0
+                z00, z10, z01, z11 = _multi_gather((c00, c10, c01, c11), f)
+                hit_now, t_c = intersector(ox, oy, oz, dx, dy, dz, icx, icy,
+                                           z00, z10, z01, z11,
+                                           t - T_TOL, t_exit_c + T_TOL)
+                hit_now = hit_now & test
+                advance = act & ~descend & ~hit_now
+                dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy, lvl)
+                ascend = advance & b_even & (lvl < l32 - 1)
+                new_lvl = jnp.where(descend, lvl - 1,
+                                    jnp.where(ascend, lvl + 1, lvl))
+                adv_x = jnp.where(ascend, nx >> 1, nx)
+                adv_y = jnp.where(ascend, ny >> 1, ny)
+                new_icx = jnp.where(descend, dcx,
+                                    jnp.where(advance, adv_x, icx))
+                new_icy = jnp.where(descend, dcy,
+                                    jnp.where(advance, adv_y, icy))
+                new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
+                new_side = m >> new_lvl
+                out = advance & ((t_exit >= t1 - EPS_EXIT)
+                                 | (new_icx < 0) | (new_icx >= new_side)
+                                 | (new_icy < 0) | (new_icy >= new_side))
+                st = dict(st)
+                st["t"] = jnp.where(act, new_t, t)
+                st["lvl"] = jnp.where(act, new_lvl, lvl)
+                st["icx"] = jnp.where(act, new_icx, icx)
+                st["icy"] = jnp.where(act, new_icy, icy)
+                st["alive"] = (st["alive"]
+                               * (1 - hit_now.astype(jnp.int32))
+                               * (1 - out.astype(jnp.int32)))
+                st["hit"] = jnp.maximum(st["hit"], hit_now.astype(jnp.int32))
+                st["t_hit"] = jnp.where(hit_now, t_c, st["t_hit"])
+                st["hx"] = jnp.where(hit_now, icx, st["hx"])
+                st["hy"] = jnp.where(hit_now, icy, st["hy"])
+                return k + 1, st
+
+            _, st = jax.lax.while_loop(i_cond, i_body, (jnp.int32(0), st))
+            return i + 1, st
+
+        _, st = jax.lax.while_loop(b_cond, b_body, (jnp.int32(0), st))
+        return st["hit"] != 0, st["t_hit"], st["hx"], st["hy"]
+
+    # ================= primary rays =================
+    hit, t_hit, hx, hy = march(ox, oy, oz, dx, dy, dz, in_screen)
+
+    ts = jnp.where(hit, t_hit, 0.0)
+    px = ox + ts * dx
+    py = oy + ts * dy
+    pz = oz + ts * dz
+
+    # ---------- shading-data demand loop: corner gradients ----------
+    bid0 = jnp.where(hit, (hy >> 5) * m5 + (hx >> 5), BIG_KEY)
+    nx_s = jnp.zeros(shp, jnp.float32)
+    ny_s = jnp.zeros(shp, jnp.float32)
+    nz_s = jnp.ones(shp, jnp.float32)
+    ar = jnp.full(shp, 0.55)
+    ag = jnp.full(shp, 0.55)
+    ab = jnp.full(shp, 0.55)
+
+    fshade = (hy & 31) * 32 + (hx & 31)
+    fx = jnp.clip(px - hx.astype(jnp.float32), 0.0, 1.0)
+    fy = jnp.clip(py - hy.astype(jnp.float32), 0.0, 1.0)
+
+    def bilerp(v00, v10, v01, v11):
+        return (v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
+                + v01 * (1 - fx) * fy + v11 * fx * fy)
+
+    def s_cond(c):
+        i, pend, nx_s, ny_s, nz_s, ar, ag, ab = c
+        return (i < brick_cap) & jnp.any(pend < BIG_KEY)
+
+    def s_body(c):
+        i, pend, nx_s, ny_s, nz_s, ar, ag, ab = c
+        sel = jnp.min(pend)
+        cs = pltpu.make_async_copy(shade_hbm.at[sel], shade_scr, sems.at[0])
+        cs.start()
+        if config.texture:
+            ca = pltpu.make_async_copy(albedo_hbm.at[sel], albedo_scr,
+                                       sems.at[1])
+            ca.start()
+            ca.wait()
+        cs.wait()
+        mine = pend == sel
+        gs = _multi_gather(tuple(shade_scr[c] for c in range(8)), fshade)
+        gx = bilerp(gs[0], gs[1], gs[2], gs[3])
+        gy = bilerp(gs[4], gs[5], gs[6], gs[7])
+        inv = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
+        nx_s = jnp.where(mine, -gx * inv, nx_s)
+        ny_s = jnp.where(mine, -gy * inv, ny_s)
+        nz_s = jnp.where(mine, inv, nz_s)
+        if config.texture:
+            ga = _multi_gather(tuple(albedo_scr[c] for c in range(12)), fshade)
+            ar = jnp.where(mine, bilerp(ga[0], ga[1], ga[2], ga[3]), ar)
+            ag = jnp.where(mine, bilerp(ga[4], ga[5], ga[6], ga[7]), ag)
+            ab = jnp.where(mine, bilerp(ga[8], ga[9], ga[10], ga[11]), ab)
+        pend = jnp.where(mine, BIG_KEY, pend)
+        return i + 1, pend, nx_s, ny_s, nz_s, ar, ag, ab
+
+    (_, _, nx_s, ny_s, nz_s, ar, ag, ab) = jax.lax.while_loop(
+        s_cond, s_body,
+        (jnp.int32(0), bid0, nx_s, ny_s, nz_s, ar, ag, ab))
+
+    lx, ly, lz = P(_P_SUN + 0), P(_P_SUN + 1), P(_P_SUN + 2)
+    diff = sh.lambert(nx_s, ny_s, nz_s, lx, ly, lz)
+
+    # ================= shadow rays (SURVEY.md C17) =================
+    if config.shadows:
+        sxo = px + lx * SHADOW_EPS + nx_s * SHADOW_EPS
+        syo = py + ly * SHADOW_EPS + ny_s * SHADOW_EPS
+        szo = pz + lz * SHADOW_EPS + nz_s * SHADOW_EPS
+        l_x = jnp.full(shp, lx)
+        l_y = jnp.full(shp, ly)
+        l_z = jnp.full(shp, lz)
+        occ, _, _, _ = march(jnp.where(hit, sxo, -1e6),
+                             jnp.where(hit, syo, -1e6), szo,
+                             l_x, l_y, l_z, hit)
+        diff = jnp.where(occ, 0.0, diff)
+
+    # ================= final shading =================
+    sr, sg, sb = P(_P_SUNCOL + 0), P(_P_SUNCOL + 1), P(_P_SUNCOL + 2)
+    r = ar * (config.ambient + diff * sr)
+    g = ag * (config.ambient + diff * sg)
+    b = ab * (config.ambient + diff * sb)
+
+    if config.shading == "phong":
+        spec = sh.phong_specular(nx_s, ny_s, nz_s, lx, ly, lz,
+                                 -dx, -dy, -dz, config.shininess)
+        if config.shadows:
+            spec = jnp.where(occ, 0.0, spec)
+        r = r + config.specular * spec * sr
+        g = g + config.specular * spec * sg
+        b = b + config.specular * spec * sb
+
+    if config.fog:
+        fr_, fg_, fb_ = P(_P_FOGCOL), P(_P_FOGCOL + 1), P(_P_FOGCOL + 2)
+        r, g, b = sh.apply_fog(r, g, b, ts, config.fog_density,
+                               (fr_, fg_, fb_))
+
+    skyr, skyg, skyb = sh.sky_color(
+        dz, (P(_P_SKYTOP), P(_P_SKYTOP + 1), P(_P_SKYTOP + 2)),
+        (P(_P_SKYHOR), P(_P_SKYHOR + 1), P(_P_SKYHOR + 2)))
+    r = jnp.clip(jnp.where(hit, r, skyr), 0.0, 1.0)
+    g = jnp.clip(jnp.where(hit, g, skyg), 0.0, 1.0)
+    b = jnp.clip(jnp.where(hit, b, skyb), 0.0, 1.0)
+
+    out_refs[0][:] = r
+    out_refs[1][:] = g
+    out_refs[2][:] = b
+    out_refs[3][:] = jnp.where(hit, t_hit, jnp.inf)
+    out_refs[4][:] = hit.astype(jnp.int32)
+    if config.aux_buffers:
+        out_refs[5][:] = jnp.where(hit, nx_s, 0.0)
+        out_refs[6][:] = jnp.where(hit, ny_s, 0.0)
+        out_refs[7][:] = jnp.where(hit, nz_s, 0.0)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n", "m", "levels",
+                                             "m5", "l32", "interpret"))
+def _render_pallas_jit(params, packed_coarse, packed_bricks, packed_corners,
+                       packed_shade, packed_albedo, *, config: RenderConfig,
+                       n: int, m: int, levels: int, m5: int, l32: int,
+                       interpret: bool):
+    H, W = config.height, config.width
+    gh, gw = _cdiv(H, TILE_H), _cdiv(W, TILE_W)
+    Hp, Wp = gh * TILE_H, gw * TILE_W
+
+    n_out = 8 if config.aux_buffers else 5
+    out_dtypes = ([jnp.float32] * 4 + [jnp.int32]
+                  + [jnp.float32] * 3)[:n_out]
+    out_shape = [jax.ShapeDtypeStruct((Hp, Wp), dt) for dt in out_dtypes]
+    out_specs = [pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))
+                 for _ in range(n_out)]
+
+    coarse_cap = 24 * levels + 96
+    brick_cap = 16 * m5 + 512     # safety bound; the demand loop exits early
+    inner_cap = 256
+
+    kern = functools.partial(
+        _render_kernel, config=config, n=n, m=m, levels=levels, m5=m5,
+        l32=l32, W=W, H=H, coarse_cap=coarse_cap, brick_cap=brick_cap,
+        inner_cap=inner_cap)
+
+    def kernel_entry(params_ref, coarse_ref, bricks, corners, shade, albedo,
+                     *refs):
+        out_refs = refs[:n_out]
+        casc_scr, corner_scr, shade_scr, albedo_scr, sems = refs[n_out:]
+        kern(params_ref, coarse_ref, bricks, corners, shade, albedo,
+             *out_refs, casc_scr=casc_scr, corner_scr=corner_scr,
+             shade_scr=shade_scr, albedo_scr=albedo_scr, sems=sems)
+
+    albedo = packed_albedo
+    if albedo is None:
+        albedo = jnp.zeros((1, 12, 8, 128), jnp.float32)
+
+    outs = pl.pallas_call(
+        kernel_entry,
+        grid=(gh, gw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # params
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # coarse
+            pl.BlockSpec(memory_space=pl.ANY),        # bricks (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # corners (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # shade (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # albedo (HBM)
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((l32, TILE_H, TILE_W), jnp.float32),  # level cascade
+            pltpu.VMEM((4, TILE_H, TILE_W), jnp.float32),    # corners
+            pltpu.VMEM((8, TILE_H, TILE_W), jnp.float32),    # shade
+            pltpu.VMEM((12, TILE_H, TILE_W), jnp.float32),   # albedo
+            pltpu.SemaphoreType.DMA((12,)),
+        ],
+        interpret=interpret,
+    )(params, packed_coarse, packed_bricks, packed_corners, packed_shade,
+      albedo)
+
+    crop = lambda a: a[:H, :W]
+    r, g, b, depth, hit = [crop(o) for o in outs[:5]]
+    color = jnp.stack([r, g, b], axis=-1)
+    normal = None
+    if config.aux_buffers:
+        normal = jnp.stack([crop(o) for o in outs[5:8]], axis=-1)
+    return Frame(color=color,
+                 depth=depth if config.aux_buffers else None,
+                 normal=normal,
+                 hit=hit.astype(bool))
+
+
+def make_params(scene: Scene, camera: Camera) -> jax.Array:
+    """Pack camera + light scalars into the kernel's SMEM params vector."""
+    right, up, fwd = camera.basis()
+    light = scene.light
+    gmax = scene.pyr_flat[-1]
+    vals = jnp.concatenate([
+        camera.eye, right, up, fwd,
+        jnp.stack([jnp.tan(camera.fov_y * 0.5),
+                   jnp.float32(1.0)]),  # aspect patched below
+        light.sun_dir, light.sun_color, light.sky_top, light.sky_horizon,
+        light.fog_color, gmax[None],
+    ])
+    pad = N_PARAMS - vals.shape[0] - 2
+    vals = jnp.concatenate([vals, jnp.zeros(pad + 2, jnp.float32)])
+    return vals.reshape(1, N_PARAMS)
+
+
+def render_frame_pallas(scene: Scene, packed: PackedScene, camera: Camera,
+                        config: RenderConfig, interpret: bool = False) -> Frame:
+    params = make_params(scene, camera)
+    params = params.at[0, _P_ASPECT].set(config.width / config.height)
+    return _render_pallas_jit(
+        params, packed.coarse, packed.bricks, packed.corners, packed.shade,
+        packed.albedo, config=config, n=scene.n, m=scene.m,
+        levels=scene.levels, m5=packed.m5, l32=packed.l32,
+        interpret=interpret)

@@ -122,6 +122,9 @@ class Scene:
     pyr_flat: jax.Array    # (T,) f32 flattened max pyramid over cells
     albedo: jax.Array | None  # (N, N, 3) f32 texture, or None
     light: Light
+    #: brick-packed layout for the Pallas kernel (kernels/packing.py),
+    #: or None when only the oracle path is used
+    packed: object | None
     n: int
     m: int
     levels: int
