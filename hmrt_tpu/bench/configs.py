@@ -93,7 +93,7 @@ def bench_scene(cfg: BenchConfig, seed: int = 3):
         # deterministic height+slope colored albedo (SURVEY.md C18)
         g = np.gradient(terr)
         slope = np.hypot(g[0], g[1])
-        hnorm = (terr - terr.min()) / (terr.ptp() + 1e-9)
+        hnorm = (terr - terr.min()) / (np.ptp(terr) + 1e-9)
         grass = np.array([0.3, 0.5, 0.2], np.float32)
         rock = np.array([0.45, 0.4, 0.38], np.float32)
         snow = np.array([0.9, 0.9, 0.95], np.float32)

@@ -68,6 +68,9 @@ class RenderConfig:
     #: "pallas"  = fused Pallas tile kernel (TPU)
     #: "auto"    = pallas when available/fitting, else oracle
     backend: Literal["auto", "oracle", "pallas"] = "auto"
+    #: kernel emits per-tile work counters (coarse steps, column switches,
+    #: inner steps) as extra framebuffer planes — perf diagnosis only
+    debug_counters: bool = False
 
     @property
     def resolution(self) -> tuple[int, int]:

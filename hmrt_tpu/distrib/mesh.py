@@ -16,6 +16,7 @@ XLA keeps one HBM copy per chip with zero per-frame traffic.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -74,6 +75,37 @@ def _render_sharded_jit(scene: Scene, camera: Camera, config: RenderConfig,
     H, W = config.height, config.width
     ndev = mesh.devices.size
     band = H // ndev
+
+    use_pallas = (config.backend != "oracle" and scene.packed is not None
+                  and jax.default_backend() == "tpu" and band % 8 == 0)
+    if use_pallas:
+        # each chip runs the fused tile kernel on its row band, with raygen
+        # shifted into the full screen's NDC space (kernels/raycast.py)
+        from hmrt_tpu.kernels.raycast import render_frame_pallas
+        band_cfg = dataclasses.replace(config, height=band)
+
+        def render_band_k(scene_rep, cam):
+            row0 = jax.lax.axis_index("tiles") * band
+            fr = render_frame_pallas(scene_rep, scene_rep.packed, cam,
+                                     band_cfg, row0=row0.astype(jnp.float32),
+                                     full_height=H)
+            out = (fr.color,
+                   fr.depth if fr.depth is not None
+                   else jnp.zeros((band, W), jnp.float32),
+                   fr.normal if fr.normal is not None
+                   else jnp.zeros((band, W, 3), jnp.float32),
+                   fr.hit)
+            return jax.tree.map(
+                lambda x: jax.lax.all_gather(x, "tiles", axis=0, tiled=True),
+                out)
+
+        fn = shard_map(render_band_k, mesh=mesh, in_specs=(P(), P()),
+                       out_specs=P(), check_vma=False)
+        color, depth, normal, hit = fn(scene, camera)
+        return Frame(color=color,
+                     depth=depth if config.aux_buffers else None,
+                     normal=normal if config.aux_buffers else None,
+                     hit=hit)
 
     # one full-screen ray grid, sharded by row-band; scene+camera replicated
     eye, dirs = camera.rays(H, W)

@@ -111,7 +111,12 @@ def read_png(path: str) -> np.ndarray:
     bpp = channels * depth // 8
     stride = w * bpp
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
-    flat = _unfilter(raw, h, stride, bpp)
+    # native unfilter when available (pure-Python fallback is interpreter-
+    # speed: minutes for an 8192^2 DEM)
+    from hmrt_tpu.io import native as _native
+    flat = _native.png_unfilter(raw, h, stride, bpp)
+    if flat is None:
+        flat = _unfilter(raw, h, stride, bpp)
     if depth == 16:
         img = flat.reshape(h, w, channels, 2)
         img = (img[..., 0].astype(np.uint16) << 8) | img[..., 1]

@@ -7,26 +7,33 @@ shuffle within 128-lane vector registers, and HBM can only be reached with
 scalar-indexed DMA. The TPU-native equivalent of "texture fetch" is
 therefore a software-managed brick scheme (this module + kernels/raycast):
 
-  * every pyramid level with side >= 64 is split into 32x32-cell BRICKS,
-    each stored as one (8, 128) f32 tile = 4 KB = one VMEM vector register
-    load; a marching tile DMAs the brick that its rays currently demand
-    (scalar brick id = min over lanes) and gathers per-lane cell maxes
-    from the in-register brick with lane shuffles;
+  * the terrain is split into 32x32-cell COLUMNS; each column's record
+    packs its ENTIRE pyramid cascade — the 32x32 level-0 cell maxes, the
+    16x16 level-1 block, 8x8, ..., plus one ancestor value per coarser
+    bricked level — AND the 4 per-cell corner heights, into one
+    (48, 128) f32 record (24 KB). A marching tile DMAs the single record
+    its rays currently demand (scalar column id = min over lanes) and a
+    lane then descends/ascends/marches through every level and runs exact
+    intersections with in-register lane-shuffle gathers, no further HBM
+    traffic until it leaves the column sideways;
   * levels with side <= 32 (<= 1365 cells in total) are packed into one
     (16, 128) "coarse" buffer that rides in VMEM for the whole kernel —
     rays cruise the empty sky over the terrain without touching HBM at all;
-  * the finest level additionally gets per-cell CORNER bricks (the 4 cell
-    corner heights, channels-first) for the exact intersection test, and
-    per-cell corner-GRADIENT bricks for shading normals (precomputed
-    central differences, bilinearly interpolated in-kernel — identical
-    math to the oracle's gradient_normal).
+  * per-cell corner-GRADIENT bricks (for shading normals; precomputed
+    central differences bilinearly interpolated in-kernel — identical math
+    to the oracle's gradient_normal) and 4-corner RGB albedo bricks ride a
+    separate demand loop that runs once per hit.
 
-Brick ids use the same closed-form level-major arithmetic as the flat
-pyramid, over the brick grid (m5 = M/32 bricks per side at level 0):
-
-    boff(l)  = (m5^2 - (m5^2 >> 2l)) * 4 // 3
-    gbid     = boff(l) + (icy >> 5) * (m5 >> l) + (icx >> 5)
-    in-brick = (icy & 31) * 32 + (icx & 31)   ->  vreg (f >> 7, f & 127)
+Column record row layout (rows of 128 lanes):
+    rows 0-7   level-0 cell maxes (1024)
+    rows 8-9   level-1 block (256)
+    row 10     level-2 (64) | level-3 (16) | level-4 (4) | level-5 (1)
+               | ancestor values for bricked levels >= 6 (1 each)
+    row 11     padding
+    rows 12-43 corner heights z00,z10,z01,z11 (4 channels x 8 rows)
+    rows 44-47 padding
+In-column index at level l: off(l) + ly*(32>>l) + lx with lx/ly = cell
+coords masked to the column (closed-form lane arithmetic in the kernel).
 """
 
 from __future__ import annotations
@@ -40,9 +47,21 @@ import numpy as np
 from hmrt_tpu.core.pyramid import NEG_INF, build_levels
 from hmrt_tpu.types import Scene, _pytree_dataclass
 
-BRICK = 32                 # cells per brick side
+BRICK = 32                 # cells per column side
 COARSE_SIDE = 32           # levels at or below this side stay in VMEM
 COARSE_ROWS = 16           # coarse buffer shape (COARSE_ROWS, 128)
+COL_ROWS = 48              # rows per packed column record
+CORNER_ROW = 12            # first row of the corner channels
+
+
+def cascade_offsets(l32: int) -> list:
+    """In-record flat offset of each bricked level's block (python ints)."""
+    offs, pos = [], 0
+    for l in range(l32):
+        offs.append(pos)
+        side = max(BRICK >> l, 1)
+        pos += side * side
+    return offs
 
 
 def brick_offset(m5: int, level: int) -> int:
@@ -64,8 +83,7 @@ class PackedScene:
     """
 
     coarse: jax.Array    # (16, 128) f32 — levels with side <= 32, flat-packed
-    bricks: jax.Array    # (NB, 8, 128) f32 — all bricked pyramid levels
-    corners: jax.Array   # (NB0, 4, 8, 128) f32 — z00,z10,z01,z11 per fine cell
+    columns: jax.Array   # (m5^2, 48, 128) f32 — per-column cascade + corners
     shade: jax.Array     # (NB0, 8, 8, 128) f32 — corner gradients gx,gy x 4
     albedo: jax.Array | None  # (NB0, 12, 8, 128) f32 — RGB at 4 cell corners
     m5: int
@@ -108,11 +126,22 @@ def _pack_arrays(heights: jax.Array, albedo, *, n: int, m: int):
     coarse = jnp.pad(coarse_flat, (0, pad),
                      constant_values=NEG_INF).reshape(COARSE_ROWS, 128)
 
-    # --- bricks for levels 0..l32-1 ---
-    if l32 > 0:
-        bricks = jnp.concatenate([_to_bricks(levels[l]) for l in range(l32)])
-    else:
-        bricks = jnp.zeros((1, 8, 128), jnp.float32)
+    # --- packed column records: full per-column level cascade ---
+    blocks = []
+    for l in range(l32):
+        side = max(BRICK >> l, 1)
+        lv = levels[l]
+        if l <= 5:
+            # per-column (side x side) block of level l
+            a = lv.reshape(m5, side, m5, side)
+            a = a.transpose(0, 2, 1, 3).reshape(m5 * m5, side * side)
+        else:
+            # ancestor value: one level-l cell covers 2^(l-5) columns
+            r = 1 << (l - 5)
+            a = jnp.repeat(jnp.repeat(lv, r, axis=0), r, axis=1)
+            a = a.reshape(m5 * m5, 1)
+        blocks.append(a)
+    casc = jnp.concatenate(blocks, axis=1)          # (m5^2, ~1366)
 
     # --- fine-cell corners, padded cell grid (m x m) ---
     z00 = heights[:-1, :-1]
@@ -125,8 +154,16 @@ def _pack_arrays(heights: jax.Array, albedo, *, n: int, m: int):
         # replicate edges so no NaNs flow through masked lanes
         return jnp.pad(a, ((0, m - (n - 1)), (0, m - (n - 1))), mode="edge")
 
-    corners = jnp.stack([_to_bricks(pad_cells(z)) for z in
-                         (z00, z10, z01, z11)], axis=1)  # (NB0, 4, 8, 128)
+    corner_flat = jnp.concatenate(
+        [_to_bricks(pad_cells(z)).reshape(m5 * m5, 1024)
+         for z in (z00, z10, z01, z11)], axis=1)    # (m5^2, 4096)
+
+    # assemble (m5^2, 48, 128) column records
+    pad_c = CORNER_ROW * 128 - casc.shape[1]
+    casc = jnp.pad(casc, ((0, 0), (0, pad_c)), constant_values=NEG_INF)
+    rec = jnp.concatenate([casc, corner_flat], axis=1)
+    rec = jnp.pad(rec, ((0, 0), (0, COL_ROWS * 128 - rec.shape[1])))
+    columns = rec.reshape(m5 * m5, COL_ROWS, 128)
 
     # --- corner gradients for shading normals ---
     gx, gy = _corner_grads(heights)
@@ -147,7 +184,7 @@ def _pack_arrays(heights: jax.Array, albedo, *, n: int, m: int):
                           a[c, 1:, :-1], a[c, 1:, 1:]])
         # order: r00,r10,r01,r11, g00,..., b11
         alb = jnp.stack([_to_bricks(pad_cells(ch)) for ch in chans], axis=1)
-    return coarse, bricks, corners, shade, alb
+    return coarse, columns, shade, alb
 
 
 def pack_scene(scene: Scene) -> PackedScene:
@@ -156,9 +193,9 @@ def pack_scene(scene: Scene) -> PackedScene:
     if m < 64:
         raise ValueError("brick kernel needs a padded cell grid of >= 64 "
                          f"(heightmap >= 66 samples); got M={m}")
-    coarse, bricks, corners, shade, alb = _pack_arrays(
+    coarse, columns, shade, alb = _pack_arrays(
         scene.heights, scene.albedo, n=scene.n, m=m)
     m5 = m // BRICK
     l32 = m.bit_length() - COARSE_SIDE.bit_length()
-    return PackedScene(coarse=coarse, bricks=bricks, corners=corners,
+    return PackedScene(coarse=coarse, columns=columns,
                        shade=shade, albedo=alb, m5=m5, l32=l32, nb0=m5)

@@ -28,6 +28,13 @@ so hit decisions match the fidelity oracle bit-for-bit.
 from __future__ import annotations
 
 import functools
+import os
+
+# perf-policy experiment knobs (tuned on hardware; see TODO.md)
+_ASC_CAP = int(os.environ.get("HMRT_ASC_CAP", "3"))
+# ascending after a failed level-0 test makes terrain-hugging rays
+# ping-pong descend/ascend around the surface: measured 1.75x slower
+_ASCEND_ON_TEST_MISS = os.environ.get("HMRT_ASC_MISS", "0") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -36,15 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hmrt_tpu.config import RenderConfig
 from hmrt_tpu.core.renderer import SHADOW_EPS
-from hmrt_tpu.kernels.packing import BRICK, PackedScene, brick_offset
+from hmrt_tpu.kernels.packing import (BRICK, COL_ROWS, CORNER_ROW,
+                                      PackedScene, cascade_offsets)
 from hmrt_tpu.shading import shade as sh
 from hmrt_tpu.traversal.intersect import BIG_T, INTERSECTORS
-from hmrt_tpu.traversal.march import (T_TOL, EPS_EXIT, descend_cell,
-                                      entry_cell, ray_box_range,
+from hmrt_tpu.traversal.march import (T_TOL, EPS_EXIT, ascent_levels,
+                                      descend_cell, entry_cell,
+                                      ray_box_range, ray_inverses,
                                       step_geometry)
 from hmrt_tpu.types import Camera, Frame, Scene
 
-TILE_H, TILE_W = 8, 128
+TILE_W = 128      # lane width is fixed by the VPU register shape
 BIG_KEY = 2 ** 30  # plain int: jnp constants would be captured as kernel consts
 
 # params vector layout (f32[1, 32])
@@ -60,6 +69,7 @@ _P_SKYTOP = 20    # 20-22
 _P_SKYHOR = 23    # 23-25
 _P_FOGCOL = 26    # 26-28
 _P_GMAX = 29
+_P_ROW0 = 30   # first screen row of this shard (multi-chip band rendering)
 N_PARAMS = 32
 
 
@@ -115,16 +125,17 @@ def _cascade_gather(casc_ref, lvl, f, l32):
     return acc
 
 
-def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
+def _render_kernel(params_ref, coarse_ref, columns_hbm,
                    shade_hbm, albedo_hbm,
                    *out_refs,
-                   casc_scr, corner_scr, shade_scr, albedo_scr, sems,
+                   col_scr, shade_scr, albedo_scr, sems,
                    config: RenderConfig, n: int, m: int, levels: int,
-                   m5: int, l32: int, W: int, H: int,
+                   m5: int, l32: int, W: int, H: int, full_h: int,
                    coarse_cap: int, brick_cap: int, inner_cap: int):
     intersector = INTERSECTORS[config.cell_intersect]
     world_max = float(n - 1)
     nb0sq = m5 * m5
+    TILE_H = max(config.tile_h, 8)
     shp = (TILE_H, TILE_W)
 
     def P(i):
@@ -136,8 +147,10 @@ def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
     ii = (jax.lax.broadcasted_iota(jnp.int32, shp, 0) + ti * TILE_H)
     jj = (jax.lax.broadcasted_iota(jnp.int32, shp, 1) + tj * TILE_W)
     in_screen = (ii < H) & (jj < W)
+    # row0 shifts this shard's rows into the full screen's NDC space
+    # (multi-chip band rendering, distrib/mesh.py); 0 for single-chip
     ndc_x = (jj.astype(jnp.float32) + 0.5) / W * 2.0 - 1.0
-    ndc_y = 1.0 - (ii.astype(jnp.float32) + 0.5) / H * 2.0
+    ndc_y = 1.0 - (ii.astype(jnp.float32) + P(_P_ROW0) + 0.5) / full_h * 2.0
     sx = ndc_x * P(_P_TANHALF) * P(_P_ASPECT)
     sy = ndc_y * P(_P_TANHALF)
     dx = P(_P_FWD + 0) + sx * P(_P_RIGHT + 0) + sy * P(_P_UP + 0)
@@ -174,6 +187,7 @@ def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
         the coarse phase (VMEM) + brick demand loop (HBM DMA).
         """
         t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max)
+        inv_x, inv_y = ray_inverses(dx, dy)
         valid = valid & valid0
         # early-out sky test (SURVEY.md C13)
         sky = ((oz + t0 * dz) > gmax) & (dz >= 0.0)
@@ -190,6 +204,7 @@ def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
             hit=jnp.zeros(shp, jnp.int32),
             t_hit=jnp.full(shp, BIG_T, jnp.float32),
             hx=jnp.zeros(shp, jnp.int32), hy=jnp.zeros(shp, jnp.int32),
+            nin=jnp.zeros(shp, jnp.int32),   # inner steps (diagnostics)
         )
 
         # -------- phase A: coarse march (levels >= l32, zero HBM) --------
@@ -202,7 +217,8 @@ def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
             i, st = c
             act = (st["alive"] != 0) & (st["lvl"] >= l32)
             t, lvl, icx, icy = st["t"], st["lvl"], st["icx"], st["icy"]
-            t_exit, nx, ny, b_even = step_geometry(ox, oy, dx, dy, icx, icy, lvl)
+            t_exit, nx, ny, bnd = step_geometry(ox, oy, dx, dy, icx, icy,
+                                                lvl, inv_x, inv_y)
             t_exit_c = jnp.minimum(t_exit, t1)
             zmin = oz + jnp.minimum(t * dz, t_exit_c * dz)
             side = m >> lvl
@@ -213,11 +229,11 @@ def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
             descend = act & ~skip                       # lvl >= l32 >= 1 here
             advance = act & skip
             dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy, lvl)
-            ascend = advance & b_even & (lvl < top)
-            new_lvl = jnp.where(descend, lvl - 1,
-                                jnp.where(ascend, lvl + 1, lvl))
-            adv_x = jnp.where(ascend, nx >> 1, nx)
-            adv_y = jnp.where(ascend, ny >> 1, ny)
+            asc = jnp.where(advance, ascent_levels(bnd), 0)
+            asc = jnp.minimum(asc, top - lvl)
+            new_lvl = jnp.where(descend, lvl - 1, lvl + asc)
+            adv_x = nx >> asc
+            adv_y = ny >> asc
             new_icx = jnp.where(descend, dcx, jnp.where(advance, adv_x, icx))
             new_icy = jnp.where(descend, dcy, jnp.where(advance, adv_y, icy))
             new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
@@ -233,7 +249,7 @@ def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
             st["alive"] = st["alive"] * (1 - out.astype(jnp.int32))
             return i + 1, st
 
-        _, st = jax.lax.while_loop(a_cond, a_body, (jnp.int32(0), st))
+        na, st = jax.lax.while_loop(a_cond, a_body, (jnp.int32(0), st))
 
         # -------- phase B: column-cascade demand loop (levels < l32) --------
         # Lanes are scheduled by the 32-cell terrain COLUMN their current
@@ -253,28 +269,17 @@ def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
         def b_body(c):
             i, st = c
             sel = jnp.min(col_of(st))
-            colx_s = sel % m5
-            coly_s = sel // m5
 
-            # cascade DMA: all bricked levels containing this column
-            for l in range(l32):
-                nb = m5 >> l
-                mm5 = m5 * m5
-                boff = ((mm5 - (mm5 >> (2 * l))) * 4) // 3
-                bid = boff + (coly_s >> l) * nb + (colx_s >> l)
-                pltpu.make_async_copy(bricks_hbm.at[bid], casc_scr.at[l],
-                                      sems.at[l]).start()
-            pltpu.make_async_copy(corners_hbm.at[sel], corner_scr,
-                                  sems.at[l32]).start()
-            for l in range(l32):
-                pltpu.make_async_copy(bricks_hbm.at[0], casc_scr.at[l],
-                                      sems.at[l]).wait()
-            pltpu.make_async_copy(corners_hbm.at[0], corner_scr,
-                                  sems.at[l32]).wait()
-            c00 = corner_scr[0]
-            c10 = corner_scr[1]
-            c01 = corner_scr[2]
-            c11 = corner_scr[3]
+            cp = pltpu.make_async_copy(columns_hbm.at[sel], col_scr,
+                                       sems.at[0])
+            cp.start()
+            cp.wait()
+            casc = col_scr[0:CORNER_ROW, :]
+            c00 = col_scr[CORNER_ROW + 0:CORNER_ROW + 8, :]
+            c10 = col_scr[CORNER_ROW + 8:CORNER_ROW + 16, :]
+            c01 = col_scr[CORNER_ROW + 16:CORNER_ROW + 24, :]
+            c11 = col_scr[CORNER_ROW + 24:CORNER_ROW + 32, :]
+            offs = cascade_offsets(l32)
 
             def i_cond(cc):
                 k, st = cc
@@ -284,29 +289,40 @@ def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
             def i_body(cc):
                 k, st = cc
                 act = (st["alive"] != 0) & (col_of(st) == sel)
+                st = dict(st, nin=st["nin"] + 1)
                 t, lvl, icx, icy = st["t"], st["lvl"], st["icx"], st["icy"]
-                t_exit, nx, ny, b_even = step_geometry(ox, oy, dx, dy,
-                                                       icx, icy, lvl)
+                t_exit, nx, ny, bnd = step_geometry(ox, oy, dx, dy,
+                                                    icx, icy, lvl,
+                                                    inv_x, inv_y)
                 t_exit_c = jnp.minimum(t_exit, t1)
                 zmin = oz + jnp.minimum(t * dz, t_exit_c * dz)
-                f = (icy & 31) * 32 + (icx & 31)
-                cmax = _cascade_gather(casc_scr, lvl, f, l32)
+                # in-record cascade index for this lane's level
+                s_loc = jnp.maximum(32 >> lvl, 1)
+                mask_l = s_loc - 1
+                off = jnp.zeros(shp, jnp.int32)
+                for l in range(l32):
+                    off = jnp.where(lvl == l, offs[l], off)
+                fidx = off + (icy & mask_l) * s_loc + (icx & mask_l)
+                cmax = _vreg_gather(casc, fidx, 11)
                 skip = zmin > cmax
                 at0 = lvl == 0
                 descend = act & ~skip & ~at0
                 test = act & ~skip & at0
-                z00, z10, z01, z11 = _multi_gather((c00, c10, c01, c11), f)
+                f0 = (icy & 31) * 32 + (icx & 31)
+                z00, z10, z01, z11 = _multi_gather((c00, c10, c01, c11), f0)
                 hit_now, t_c = intersector(ox, oy, oz, dx, dy, dz, icx, icy,
                                            z00, z10, z01, z11,
                                            t - T_TOL, t_exit_c + T_TOL)
                 hit_now = hit_now & test
                 advance = act & ~descend & ~hit_now
+                asc_ok = advance if _ASCEND_ON_TEST_MISS else (act & skip)
                 dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy, lvl)
-                ascend = advance & b_even & (lvl < l32 - 1)
-                new_lvl = jnp.where(descend, lvl - 1,
-                                    jnp.where(ascend, lvl + 1, lvl))
-                adv_x = jnp.where(ascend, nx >> 1, nx)
-                adv_y = jnp.where(ascend, ny >> 1, ny)
+                asc = jnp.where(asc_ok, jnp.minimum(ascent_levels(bnd),
+                                                    _ASC_CAP), 0)
+                asc = jnp.minimum(asc, (l32 - 1) - lvl)
+                new_lvl = jnp.where(descend, lvl - 1, lvl + asc)
+                adv_x = nx >> asc
+                adv_y = ny >> asc
                 new_icx = jnp.where(descend, dcx,
                                     jnp.where(advance, adv_x, icx))
                 new_icy = jnp.where(descend, dcy,
@@ -330,14 +346,15 @@ def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
                 st["hy"] = jnp.where(hit_now, icy, st["hy"])
                 return k + 1, st
 
-            _, st = jax.lax.while_loop(i_cond, i_body, (jnp.int32(0), st))
+            nk, st = jax.lax.while_loop(i_cond, i_body, (jnp.int32(0), st))
             return i + 1, st
 
-        _, st = jax.lax.while_loop(b_cond, b_body, (jnp.int32(0), st))
-        return st["hit"] != 0, st["t_hit"], st["hx"], st["hy"]
+        nb, st = jax.lax.while_loop(b_cond, b_body, (jnp.int32(0), st))
+        return (st["hit"] != 0, st["t_hit"], st["hx"], st["hy"],
+                (na, nb, st["nin"]))
 
     # ================= primary rays =================
-    hit, t_hit, hx, hy = march(ox, oy, oz, dx, dy, dz, in_screen)
+    hit, t_hit, hx, hy, counters = march(ox, oy, oz, dx, dy, dz, in_screen)
 
     ts = jnp.where(hit, t_hit, 0.0)
     px = ox + ts * dx
@@ -407,9 +424,9 @@ def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
         l_x = jnp.full(shp, lx)
         l_y = jnp.full(shp, ly)
         l_z = jnp.full(shp, lz)
-        occ, _, _, _ = march(jnp.where(hit, sxo, -1e6),
-                             jnp.where(hit, syo, -1e6), szo,
-                             l_x, l_y, l_z, hit)
+        occ, _, _, _, _ = march(jnp.where(hit, sxo, -1e6),
+                                jnp.where(hit, syo, -1e6), szo,
+                                l_x, l_y, l_z, hit)
         diff = jnp.where(occ, 0.0, diff)
 
     # ================= final shading =================
@@ -444,10 +461,17 @@ def _render_kernel(params_ref, coarse_ref, bricks_hbm, corners_hbm,
     out_refs[2][:] = b
     out_refs[3][:] = jnp.where(hit, t_hit, jnp.inf)
     out_refs[4][:] = hit.astype(jnp.int32)
+    k = 5
     if config.aux_buffers:
-        out_refs[5][:] = jnp.where(hit, nx_s, 0.0)
-        out_refs[6][:] = jnp.where(hit, ny_s, 0.0)
-        out_refs[7][:] = jnp.where(hit, nz_s, 0.0)
+        out_refs[k][:] = jnp.where(hit, nx_s, 0.0)
+        out_refs[k + 1][:] = jnp.where(hit, ny_s, 0.0)
+        out_refs[k + 2][:] = jnp.where(hit, nz_s, 0.0)
+        k += 3
+    if config.debug_counters:
+        na, nb, nin = counters
+        out_refs[k][:] = jnp.full(shp, na)       # coarse wavefront steps
+        out_refs[k + 1][:] = jnp.full(shp, nb)   # column switches
+        out_refs[k + 2][:] = nin                 # inner steps
 
 
 def _cdiv(a, b):
@@ -455,18 +479,23 @@ def _cdiv(a, b):
 
 
 @functools.partial(jax.jit, static_argnames=("config", "n", "m", "levels",
-                                             "m5", "l32", "interpret"))
-def _render_pallas_jit(params, packed_coarse, packed_bricks, packed_corners,
+                                             "m5", "l32", "interpret",
+                                             "full_height"))
+def _render_pallas_jit(params, packed_coarse, packed_columns,
                        packed_shade, packed_albedo, *, config: RenderConfig,
                        n: int, m: int, levels: int, m5: int, l32: int,
-                       interpret: bool):
+                       interpret: bool, full_height: int | None = None):
     H, W = config.height, config.width
+    full_h = full_height or H
+    TILE_H = max(config.tile_h, 8)
     gh, gw = _cdiv(H, TILE_H), _cdiv(W, TILE_W)
     Hp, Wp = gh * TILE_H, gw * TILE_W
 
-    n_out = 8 if config.aux_buffers else 5
+    n_out = 5 + (3 if config.aux_buffers else 0) \
+        + (3 if config.debug_counters else 0)
     out_dtypes = ([jnp.float32] * 4 + [jnp.int32]
-                  + [jnp.float32] * 3)[:n_out]
+                  + ([jnp.float32] * 3 if config.aux_buffers else [])
+                  + ([jnp.int32] * 3 if config.debug_counters else []))
     out_shape = [jax.ShapeDtypeStruct((Hp, Wp), dt) for dt in out_dtypes]
     out_specs = [pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j))
                  for _ in range(n_out)]
@@ -477,15 +506,14 @@ def _render_pallas_jit(params, packed_coarse, packed_bricks, packed_corners,
 
     kern = functools.partial(
         _render_kernel, config=config, n=n, m=m, levels=levels, m5=m5,
-        l32=l32, W=W, H=H, coarse_cap=coarse_cap, brick_cap=brick_cap,
-        inner_cap=inner_cap)
+        l32=l32, W=W, H=H, full_h=full_h, coarse_cap=coarse_cap,
+        brick_cap=brick_cap, inner_cap=inner_cap)
 
-    def kernel_entry(params_ref, coarse_ref, bricks, corners, shade, albedo,
-                     *refs):
+    def kernel_entry(params_ref, coarse_ref, columns, shade, albedo, *refs):
         out_refs = refs[:n_out]
-        casc_scr, corner_scr, shade_scr, albedo_scr, sems = refs[n_out:]
-        kern(params_ref, coarse_ref, bricks, corners, shade, albedo,
-             *out_refs, casc_scr=casc_scr, corner_scr=corner_scr,
+        col_scr, shade_scr, albedo_scr, sems = refs[n_out:]
+        kern(params_ref, coarse_ref, columns, shade, albedo,
+             *out_refs, col_scr=col_scr,
              shade_scr=shade_scr, albedo_scr=albedo_scr, sems=sems)
 
     albedo = packed_albedo
@@ -498,23 +526,20 @@ def _render_pallas_jit(params, packed_coarse, packed_bricks, packed_corners,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # params
             pl.BlockSpec(memory_space=pltpu.VMEM),    # coarse
-            pl.BlockSpec(memory_space=pl.ANY),        # bricks (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),        # corners (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # column records (HBM)
             pl.BlockSpec(memory_space=pl.ANY),        # shade (HBM)
             pl.BlockSpec(memory_space=pl.ANY),        # albedo (HBM)
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((l32, TILE_H, TILE_W), jnp.float32),  # level cascade
-            pltpu.VMEM((4, TILE_H, TILE_W), jnp.float32),    # corners
-            pltpu.VMEM((8, TILE_H, TILE_W), jnp.float32),    # shade
-            pltpu.VMEM((12, TILE_H, TILE_W), jnp.float32),   # albedo
-            pltpu.SemaphoreType.DMA((12,)),
+            pltpu.VMEM((COL_ROWS, TILE_W), jnp.float32),  # column record
+            pltpu.VMEM((8, 8, TILE_W), jnp.float32),      # shade bricks
+            pltpu.VMEM((12, 8, TILE_W), jnp.float32),     # albedo bricks
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(params, packed_coarse, packed_bricks, packed_corners, packed_shade,
-      albedo)
+    )(params, packed_coarse, packed_columns, packed_shade, albedo)
 
     crop = lambda a: a[:H, :W]
     r, g, b, depth, hit = [crop(o) for o in outs[:5]]
@@ -522,10 +547,13 @@ def _render_pallas_jit(params, packed_coarse, packed_bricks, packed_corners,
     normal = None
     if config.aux_buffers:
         normal = jnp.stack([crop(o) for o in outs[5:8]], axis=-1)
-    return Frame(color=color,
-                 depth=depth if config.aux_buffers else None,
-                 normal=normal,
-                 hit=hit.astype(bool))
+    frame = Frame(color=color,
+                  depth=depth if config.aux_buffers else None,
+                  normal=normal,
+                  hit=hit.astype(bool))
+    if config.debug_counters:
+        return frame, tuple(outs[-3:])
+    return frame
 
 
 def make_params(scene: Scene, camera: Camera) -> jax.Array:
@@ -546,11 +574,17 @@ def make_params(scene: Scene, camera: Camera) -> jax.Array:
 
 
 def render_frame_pallas(scene: Scene, packed: PackedScene, camera: Camera,
-                        config: RenderConfig, interpret: bool = False) -> Frame:
+                        config: RenderConfig, interpret: bool = False,
+                        row0=None, full_height: int | None = None) -> Frame:
+    """Render via the fused tile kernel. `row0`/`full_height` place this
+    render as a row-band of a larger screen (multi-chip sharding)."""
     params = make_params(scene, camera)
-    params = params.at[0, _P_ASPECT].set(config.width / config.height)
+    fh = full_height or config.height
+    params = params.at[0, _P_ASPECT].set(config.width / fh)
+    if row0 is not None:
+        params = params.at[0, _P_ROW0].set(row0)
     return _render_pallas_jit(
-        params, packed.coarse, packed.bricks, packed.corners, packed.shade,
+        params, packed.coarse, packed.columns, packed.shade,
         packed.albedo, config=config, n=scene.n, m=scene.m,
         levels=scene.levels, m5=packed.m5, l32=packed.l32,
-        interpret=interpret)
+        interpret=interpret, full_height=fh)

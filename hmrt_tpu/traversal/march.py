@@ -73,22 +73,29 @@ def entry_cell(ox, oy, dx, dy, t0, lvl, side):
     return icx, icy
 
 
-def step_geometry(ox, oy, dx, dy, icx, icy, lvl):
+def ray_inverses(dx, dy):
+    """Safe reciprocal direction components, hoisted out of the march loop
+    (a VPU divide is an order of magnitude pricier than a multiply)."""
+    inv_x = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
+    inv_y = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
+    return inv_x, inv_y
+
+
+def step_geometry(ox, oy, dx, dy, icx, icy, lvl, inv_x=None, inv_y=None):
     """Exit t of integer cell (icx, icy) at level `lvl`, the stepped
-    neighbor cell, and whether the crossed boundary is even-aligned (the
-    level-(lvl+1) ascent test).
+    neighbor cell, and the crossed boundary index (ascent test input).
 
     Pure lane-local arithmetic; boundary t computed from the origin.
     """
+    if inv_x is None:
+        inv_x, inv_y = ray_inverses(dx, dy)
     s = jnp.exp2(lvl.astype(jnp.float32))
     pos_x = dx > 0.0
     pos_y = dy > 0.0
     bx = icx + pos_x.astype(jnp.int32)          # x boundary index to cross
     by = icy + pos_y.astype(jnp.int32)
-    dx_safe = jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
-    dy_safe = jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
-    tx = (bx.astype(jnp.float32) * s - ox) / dx_safe
-    ty = (by.astype(jnp.float32) * s - oy) / dy_safe
+    tx = (bx.astype(jnp.float32) * s - ox) * inv_x
+    ty = (by.astype(jnp.float32) * s - oy) * inv_y
     tx = jnp.where(jnp.abs(dx) < 1e-20, BIG_T, tx)
     ty = jnp.where(jnp.abs(dy) < 1e-20, BIG_T, ty)
     axis_x = tx <= ty                            # tie -> step x first
@@ -99,8 +106,18 @@ def step_geometry(ox, oy, dx, dy, icx, icy, lvl):
     ny = jnp.where(axis_x, icy, icy + step_y)
     # crossed boundary index on the stepped axis (at this level)
     b = jnp.where(axis_x, bx, by)
-    boundary_even = (b & 1) == 0
-    return t_exit, nx, ny, boundary_even
+    return t_exit, nx, ny, b
+
+
+def ascent_levels(b):
+    """Levels to ascend after crossing boundary index b: the number of
+    trailing zero bits of b, capped at 3 (ascending is always correct —
+    the skip test is conservative at every level — so this is purely a
+    perf policy; it is shared by the oracle and the Pallas kernel)."""
+    a1 = ((b & 1) == 0).astype(jnp.int32)
+    a2 = ((b & 3) == 0).astype(jnp.int32)
+    a3 = ((b & 7) == 0).astype(jnp.int32)
+    return a1 + a2 + a3
 
 
 def descend_cell(ox, oy, dx, dy, t, icx, icy, lvl):
@@ -143,6 +160,7 @@ def march_maxmip(ox, oy, oz, dx, dy, dz, pyr_flat, heights_flat, *,
     top = levels - 1 if start_level is None else min(start_level, levels - 1)
 
     t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max)
+    inv_x, inv_y = ray_inverses(dx, dy)
 
     # Early-out sky test (SURVEY.md C13, BASELINE.json:9): ray starts above
     # the global max height and never descends => it can never hit.
@@ -176,7 +194,8 @@ def march_maxmip(ox, oy, oz, dx, dy, dz, pyr_flat, heights_flat, *,
         t, lvl, alive = st["t"], st["lvl"], st["alive"]
         icx, icy = st["icx"], st["icy"]
 
-        t_exit, nx, ny, b_even = step_geometry(ox, oy, dx, dy, icx, icy, lvl)
+        t_exit, nx, ny, bnd = step_geometry(ox, oy, dx, dy, icx, icy, lvl,
+                                            inv_x, inv_y)
         t_exit_c = jnp.minimum(t_exit, t1)
 
         # min ray height over [t, t_exit_c] (z is linear in t); degenerate
@@ -206,11 +225,14 @@ def march_maxmip(ox, oy, oz, dx, dy, dz, pyr_flat, heights_flat, *,
         # descend: exact integer child selection at the current position
         dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy, lvl)
 
-        # ascend on advance when the crossed boundary is even-aligned
-        ascend = advance & b_even & (lvl < levels - 1)
-        new_lvl = jnp.where(descend, lvl - 1, jnp.where(ascend, lvl + 1, lvl))
-        adv_x = jnp.where(ascend, nx >> 1, nx)
-        adv_y = jnp.where(ascend, ny >> 1, ny)
+        # multi-level ascent on skip-advance by boundary alignment; a failed
+        # exact test does NOT ascend (terrain-hugging rays would ping-pong
+        # descend/ascend around the surface — measured 1.75x on TPU)
+        asc = jnp.where(alive & skip & advance, ascent_levels(bnd), 0)
+        asc = jnp.minimum(asc, (levels - 1) - lvl)
+        new_lvl = jnp.where(descend, lvl - 1, lvl + asc)
+        adv_x = nx >> asc
+        adv_y = ny >> asc
         new_icx = jnp.where(descend, dcx, jnp.where(advance, adv_x, icx))
         new_icy = jnp.where(descend, dcy, jnp.where(advance, adv_y, icy))
         new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
@@ -256,6 +278,7 @@ def march_dda(ox, oy, oz, dx, dy, dz, heights_flat, *,
     t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max)
 
     P = ox.shape
+    inv_x, inv_y = ray_inverses(dx, dy)
     lvl0 = jnp.zeros(P, jnp.int32)
     icx0, icy0 = entry_cell(ox, oy, dx, dy, t0, lvl0, n_cells)
     state = dict(
@@ -277,7 +300,8 @@ def march_dda(ox, oy, oz, dx, dy, dz, heights_flat, *,
     def body(st):
         t, alive = st["t"], st["alive"]
         icx, icy = st["icx"], st["icy"]
-        t_exit, nx, ny, _ = step_geometry(ox, oy, dx, dy, icx, icy, lvl0)
+        t_exit, nx, ny, _ = step_geometry(ox, oy, dx, dy, icx, icy, lvl0,
+                                          inv_x, inv_y)
         t_exit_c = jnp.minimum(t_exit, t1)
         z00, z10, z01, z11 = corner_heights(heights_flat, n, icx, icy)
         hit_now, t_c = intersector(ox, oy, oz, dx, dy, dz, icx, icy,
