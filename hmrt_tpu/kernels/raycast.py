@@ -43,8 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hmrt_tpu.config import RenderConfig
 from hmrt_tpu.core.renderer import SHADOW_EPS
-from hmrt_tpu.kernels.packing import (BRICK, COL_ROWS, CORNER_ROW,
-                                      PackedScene, cascade_offsets)
+from hmrt_tpu.kernels.packing import (COL_ROWS, CORNER_ROW, PackedScene,
+                                      cascade_offsets)
 from hmrt_tpu.shading import shade as sh
 from hmrt_tpu.traversal.intersect import BIG_T, INTERSECTORS
 from hmrt_tpu.traversal.march import (T_TOL, EPS_EXIT, ascent_levels,
