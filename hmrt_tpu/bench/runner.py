@@ -81,10 +81,14 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace here (SURVEY.md sec. 5)")
     args = p.parse_args(argv)
+    from hmrt_tpu.utils.profiling import maybe_trace
     for name in args.configs:
-        row = run_bench(name, frames=args.frames, scale=args.scale,
-                        reps=args.reps)
+        with maybe_trace(args.profile_dir):
+            row = run_bench(name, frames=args.frames, scale=args.scale,
+                            reps=args.reps)
         print(json.dumps(row))
 
 

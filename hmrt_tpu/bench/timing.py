@@ -49,11 +49,36 @@ def _scan_frames(scene: Scene, cams: Camera, salt, config: RenderConfig,
     return acc
 
 
+def _loop_frames(scene, cams, salt, config, n_frames):
+    """Host-side frame loop (per-frame dispatch + scalar fetch).
+
+    Used for the Pallas paths: wrapping pallas_call in lax.scan (like
+    lax.while_loop) miscompiled on real hardware — the worker crashed on
+    large scenes. Dispatch overhead (~30 ms/frame over the tunnel) is
+    amortized into the per-frame numbers; frames are 100x that.
+    """
+    acc = 0.0
+    for i in range(n_frames):
+        cam = frame_camera(cams, i)
+        cam = Camera(eye=cam.eye + salt, target=cam.target, up=cam.up,
+                     fov_y=cam.fov_y)
+        fr = render_frame(scene, cam, config)
+        acc += float(jnp.sum(fr.color[::16, ::16]))
+    return acc
+
+
 def time_animation(scene: Scene, cams: Camera, config: RenderConfig,
                    n_frames: int, reps: int = 3,
                    render_scan=None) -> dict:
-    """ms/frame (median over reps) for an n_frames on-device animation."""
-    scan = render_scan or _scan_frames
+    """ms/frame (median over reps) for an n_frames animation."""
+    use_scan = (render_scan is not None
+                or config.backend == "oracle"
+                or scene.packed is None
+                or jax.default_backend() != "tpu")
+    if use_scan:
+        scan = render_scan or _scan_frames
+    else:
+        scan = _loop_frames
     # compile + settle buffers
     float(scan(scene, cams, jnp.zeros(3, jnp.float32), config, n_frames))
     times = []

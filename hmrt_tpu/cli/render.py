@@ -46,7 +46,7 @@ def build_parser():
                    help="render an orbiting flythrough to <output>.npy")
     p.add_argument("--sharded", action="store_true",
                    help="shard the framebuffer over all devices")
-    p.add_argument("--backend", choices=["auto", "oracle", "pallas"],
+    p.add_argument("--backend", choices=["auto", "oracle", "pallas", "compact"],
                    default="auto")
     p.add_argument("--zscale", type=float, default=None)
     return p

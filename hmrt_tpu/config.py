@@ -65,9 +65,10 @@ class RenderConfig:
     tile_h: int = 8
     tile_w: int = 128
     #: "oracle"  = pure-XLA batched wavefront (runs anywhere, is the spec)
-    #: "pallas"  = fused Pallas tile kernel (TPU)
+    #: "pallas"  = fused Pallas tile kernel (TPU production path)
+    #: "compact" = budgeted march passes + ray compaction (experimental)
     #: "auto"    = pallas when available/fitting, else oracle
-    backend: Literal["auto", "oracle", "pallas"] = "auto"
+    backend: Literal["auto", "oracle", "pallas", "compact"] = "auto"
     #: kernel emits per-tile work counters (coarse steps, column switches,
     #: inner steps) as extra framebuffer planes — perf diagnosis only
     debug_counters: bool = False

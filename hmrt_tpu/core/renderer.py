@@ -36,6 +36,11 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig) -> Frame:
                 to brick;
       "auto":   pallas when the scene is packed and a TPU is present.
     """
+    interpret = jax.default_backend() != "tpu"
+    if config.backend == "compact" and scene.packed is not None:
+        from hmrt_tpu.kernels.compact import render_frame_compact
+        return render_frame_compact(scene, scene.packed, camera, config,
+                                    interpret=interpret)
     use_pallas = (config.backend == "pallas"
                   or (config.backend == "auto"
                       and scene.packed is not None
@@ -43,7 +48,7 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig) -> Frame:
     if use_pallas and scene.packed is not None:
         from hmrt_tpu.kernels.raycast import render_frame_pallas
         return render_frame_pallas(scene, scene.packed, camera, config,
-                                   interpret=jax.default_backend() != "tpu")
+                                   interpret=interpret)
     return render_frame_oracle(scene, camera, config)
 
 
