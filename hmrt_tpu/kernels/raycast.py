@@ -32,6 +32,10 @@ import os
 
 # perf-policy experiment knobs (tuned on hardware; see TODO.md)
 _ASC_CAP = int(os.environ.get("HMRT_ASC_CAP", "3"))
+# columns served per demand-loop iteration: more columns raise the active
+# lane count in column-diverged tiles for ~linear extra gather cost
+# (1/2/4/8 measured 807/561/510/748 ms on the 1024^2 HD workload)
+_N_COL = int(os.environ.get("HMRT_N_COL", "4"))
 # ascending after a failed level-0 test makes terrain-hugging rays
 # ping-pong descend/ascend around the surface: measured 1.75x slower
 _ASCEND_ON_TEST_MISS = os.environ.get("HMRT_ASC_MISS", "0") == "1"
@@ -268,27 +272,39 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
 
         def b_body(c):
             i, st = c
-            sel = jnp.min(col_of(st))
-
-            cp = pltpu.make_async_copy(columns_hbm.at[sel], col_scr,
-                                       sems.at[0])
-            cp.start()
-            cp.wait()
-            casc = col_scr[0:CORNER_ROW, :]
-            c00 = col_scr[CORNER_ROW + 0:CORNER_ROW + 8, :]
-            c10 = col_scr[CORNER_ROW + 8:CORNER_ROW + 16, :]
-            c01 = col_scr[CORNER_ROW + 16:CORNER_ROW + 24, :]
-            c11 = col_scr[CORNER_ROW + 24:CORNER_ROW + 32, :]
+            keys = col_of(st)
+            sels = []
+            rest = keys
+            for c in range(_N_COL):
+                sc = jnp.min(rest)
+                sels.append(sc)
+                rest = jnp.where(rest == sc, BIG_KEY, rest)
+            for c, sc in enumerate(sels):
+                scc = jnp.minimum(sc, m5 * m5 - 1)
+                pltpu.make_async_copy(columns_hbm.at[scc], col_scr.at[c],
+                                      sems.at[c]).start()
+            for c in range(_N_COL):
+                pltpu.make_async_copy(columns_hbm.at[0], col_scr.at[c],
+                                      sems.at[c]).wait()
+            sel = sels[0]
             offs = cascade_offsets(l32)
+            # per-column records live in col_scr[c]; gathers select by lane
+
+            def in_set(st):
+                cols = col_of(st)
+                ok = cols == sel
+                for sc in sels[1:]:
+                    ok = ok | (cols == sc)
+                return ok
 
             def i_cond(cc):
                 k, st = cc
                 return (k < inner_cap) & jnp.any((st["alive"] != 0)
-                                                 & (col_of(st) == sel))
+                                                 & in_set(st))
 
             def i_body(cc):
                 k, st = cc
-                act = (st["alive"] != 0) & (col_of(st) == sel)
+                act = (st["alive"] != 0) & in_set(st)
                 st = dict(st, nin=st["nin"] + 1)
                 t, lvl, icx, icy = st["t"], st["lvl"], st["icx"], st["icy"]
                 t_exit, nx, ny, bnd = step_geometry(ox, oy, dx, dy,
@@ -303,13 +319,27 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
                 for l in range(l32):
                     off = jnp.where(lvl == l, offs[l], off)
                 fidx = off + (icy & mask_l) * s_loc + (icx & mask_l)
-                cmax = _vreg_gather(casc, fidx, 11)
+                f0 = (icy & 31) * 32 + (icx & 31)
+                cols_now = col_of(st)
+                cmax = jnp.zeros(shp, jnp.float32)
+                z00 = z10 = z01 = z11 = jnp.zeros(shp, jnp.float32)
+                for c, sc in enumerate(sels):
+                    mine = cols_now == sc
+                    cm = _vreg_gather(col_scr[c, 0:CORNER_ROW, :], fidx, 11)
+                    g = _multi_gather(
+                        (col_scr[c, CORNER_ROW + 0:CORNER_ROW + 8, :],
+                         col_scr[c, CORNER_ROW + 8:CORNER_ROW + 16, :],
+                         col_scr[c, CORNER_ROW + 16:CORNER_ROW + 24, :],
+                         col_scr[c, CORNER_ROW + 24:CORNER_ROW + 32, :]), f0)
+                    cmax = jnp.where(mine, cm, cmax)
+                    z00 = jnp.where(mine, g[0], z00)
+                    z10 = jnp.where(mine, g[1], z10)
+                    z01 = jnp.where(mine, g[2], z01)
+                    z11 = jnp.where(mine, g[3], z11)
                 skip = zmin > cmax
                 at0 = lvl == 0
                 descend = act & ~skip & ~at0
                 test = act & ~skip & at0
-                f0 = (icy & 31) * 32 + (icx & 31)
-                z00, z10, z01, z11 = _multi_gather((c00, c10, c01, c11), f0)
                 hit_now, t_c = intersector(ox, oy, oz, dx, dy, dz, icx, icy,
                                            z00, z10, z01, z11,
                                            t - T_TOL, t_exit_c + T_TOL)
@@ -533,10 +563,10 @@ def _render_pallas_jit(params, packed_coarse, packed_columns,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((COL_ROWS, TILE_W), jnp.float32),  # column record
+            pltpu.VMEM((_N_COL, COL_ROWS, TILE_W), jnp.float32),  # col records
             pltpu.VMEM((8, 8, TILE_W), jnp.float32),      # shade bricks
             pltpu.VMEM((12, 8, TILE_W), jnp.float32),     # albedo bricks
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((max(_N_COL, 2),)),
         ],
         interpret=interpret,
     )(params, packed_coarse, packed_columns, packed_shade, albedo)
