@@ -91,11 +91,6 @@ def _vreg_gather(buf, idx, rows):
     return acc
 
 
-def _brick_gather(brick, f):
-    """Gather from one (8,128) brick value at in-brick flat index f."""
-    return _vreg_gather(brick, f, 8)
-
-
 def _multi_gather(bufs, f):
     """Gather the same in-brick index from several (8,128) channel values
     sharing one chunk loop."""
