@@ -74,6 +74,9 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
     _, t1, _ = ray_box_range(ox, oy, dx, dy, world_max)
 
     cbuf = coarse_ref[:]
+    # global max = the pyramid top, which is the last valid coarse entry
+    # (the coarse buffer always packs sides 32..1 = 1365 values)
+    gmax = cbuf[1364 >> 7, 1364 & 127]
 
     def coarse_index(lvl, cy, cx):
         q = lvl - l32
@@ -120,9 +123,11 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         new_icy = jnp.where(descend, dcy, jnp.where(advance, adv_y, icy))
         new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
         new_side = m >> new_lvl
-        out = advance & ((t_exit >= t1 - EPS_EXIT)
-                         | (new_icx < 0) | (new_icx >= new_side)
-                         | (new_icy < 0) | (new_icy >= new_side))
+        escaped = advance & (oz + new_t * dz > gmax) & (dz > 0.0)
+        out = (advance & ((t_exit >= t1 - EPS_EXIT)
+                          | (new_icx < 0) | (new_icx >= new_side)
+                          | (new_icy < 0) | (new_icy >= new_side))
+               | escaped)
         st = dict(st)
         st["t"] = jnp.where(act, new_t, t)
         st["lvl"] = jnp.where(act, new_lvl, lvl)
@@ -200,9 +205,11 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
             new_icy = jnp.where(descend, dcy, jnp.where(advance, adv_y, icy))
             new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
             new_side = m >> new_lvl
-            out = advance & ((t_exit >= t1 - EPS_EXIT)
-                             | (new_icx < 0) | (new_icx >= new_side)
-                             | (new_icy < 0) | (new_icy >= new_side))
+            escaped = advance & (oz + new_t * dz > gmax) & (dz > 0.0)
+            out = (advance & ((t_exit >= t1 - EPS_EXIT)
+                              | (new_icx < 0) | (new_icx >= new_side)
+                              | (new_icy < 0) | (new_icy >= new_side))
+                   | escaped)
             st = dict(st)
             st["t"] = jnp.where(act, new_t, t)
             st["lvl"] = jnp.where(act, new_lvl, lvl)

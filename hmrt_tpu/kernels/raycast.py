@@ -237,9 +237,12 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
             new_icy = jnp.where(descend, dcy, jnp.where(advance, adv_y, icy))
             new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
             new_side = m >> new_lvl
-            out = advance & ((t_exit >= t1 - EPS_EXIT)
-                             | (new_icx < 0) | (new_icx >= new_side)
-                             | (new_icy < 0) | (new_icy >= new_side))
+            # exact escape test: above global max and climbing => miss
+            escaped = advance & (oz + new_t * dz > gmax) & (dz > 0.0)
+            out = (advance & ((t_exit >= t1 - EPS_EXIT)
+                              | (new_icx < 0) | (new_icx >= new_side)
+                              | (new_icy < 0) | (new_icy >= new_side))
+                   | escaped)
             st = dict(st)
             st["t"] = jnp.where(act, new_t, t)
             st["lvl"] = jnp.where(act, new_lvl, lvl)
@@ -354,9 +357,11 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
                                     jnp.where(advance, adv_y, icy))
                 new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
                 new_side = m >> new_lvl
-                out = advance & ((t_exit >= t1 - EPS_EXIT)
-                                 | (new_icx < 0) | (new_icx >= new_side)
-                                 | (new_icy < 0) | (new_icy >= new_side))
+                escaped = advance & (oz + new_t * dz > gmax) & (dz > 0.0)
+                out = (advance & ((t_exit >= t1 - EPS_EXIT)
+                                  | (new_icx < 0) | (new_icx >= new_side)
+                                  | (new_icy < 0) | (new_icy >= new_side))
+                       | escaped)
                 st = dict(st)
                 st["t"] = jnp.where(act, new_t, t)
                 st["lvl"] = jnp.where(act, new_lvl, lvl)

@@ -238,9 +238,13 @@ def march_maxmip(ox, oy, oz, dx, dy, dz, pyr_flat, heights_flat, *,
         new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
 
         new_side = m >> new_lvl
+        # escape test (exact, not heuristic): once the ray's position is
+        # above the global max height and it is climbing, no hit is
+        # possible — the in-march generalization of the entry sky test
+        escaped = advance & (oz + new_t * dz > global_max) & (dz > 0.0)
         out = advance & ((t_exit >= t1 - EPS_EXIT)
                          | (new_icx < 0) | (new_icx >= new_side)
-                         | (new_icy < 0) | (new_icy >= new_side))
+                         | (new_icy < 0) | (new_icy >= new_side)) | escaped
         new_alive = alive & ~hit_now & ~out
 
         return dict(
