@@ -1,0 +1,82 @@
+"""Local flythrough viewer (SURVEY.md L4 replacement).
+
+The reference presents frames in a GLFW window; a TPU host is headless,
+so the interactive analog is: render a flythrough stack, then emit a
+self-contained HTML player (frames inlined as base64 PNGs, play/scrub
+controls) to open in any browser.
+
+    python -m hmrt_tpu.cli.render --size 512 --flythrough 48 -o fly.npy
+    python -m hmrt_tpu.cli.view fly.npy -o fly.html
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io as _io
+import os
+import sys
+
+import numpy as np
+
+_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>hmrt_tpu flythrough</title>
+<style>
+ body {{ background:#111; color:#ccc; font-family:monospace; text-align:center }}
+ img {{ image-rendering:auto; max-width:96vw; border:1px solid #333 }}
+ .bar {{ margin:10px }}
+</style></head><body>
+<h3>hmrt_tpu flythrough — {n} frames</h3>
+<img id="v">
+<div class="bar">
+ <button onclick="togglePlay()">play/pause</button>
+ <input id="s" type="range" min="0" max="{nm1}" value="0"
+        style="width:60%" oninput="seek(this.value)">
+ <span id="t"></span>
+</div>
+<script>
+const frames = [{frames}];
+let i = 0, playing = true;
+const img = document.getElementById('v');
+const slider = document.getElementById('s');
+const label = document.getElementById('t');
+function show(k) {{ img.src = 'data:image/png;base64,' + frames[k];
+  slider.value = k; label.textContent = (k+1) + '/' + frames.length; }}
+function tick() {{ if (playing) {{ i = (i+1) % frames.length; show(i); }} }}
+function togglePlay() {{ playing = !playing; }}
+function seek(v) {{ playing = false; i = +v; show(i); }}
+show(0); setInterval(tick, 1000/24);
+</script></body></html>
+"""
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="hmrt-view",
+                                description="flythrough .npy -> HTML player")
+    p.add_argument("stack", help=".npy flythrough stack (F, H, W, 3)")
+    p.add_argument("-o", "--output", default=None)
+    args = p.parse_args(argv)
+
+    from hmrt_tpu.io.image import write_png
+
+    stack = np.load(args.stack)
+    if stack.ndim != 4 or stack.shape[-1] != 3:
+        raise SystemExit(f"expected (F, H, W, 3) stack, got {stack.shape}")
+    encoded = []
+    for f in stack:
+        buf = _io.BytesIO()
+        tmp = "/tmp/_hmrt_view_frame.png"
+        write_png(tmp, f)
+        with open(tmp, "rb") as fh:
+            encoded.append("'" + base64.b64encode(fh.read()).decode() + "'")
+        os.remove(tmp)
+    out = args.output or (os.path.splitext(args.stack)[0] + ".html")
+    with open(out, "w") as fh:
+        fh.write(_HTML.format(n=len(encoded), nm1=len(encoded) - 1,
+                              frames=",".join(encoded)))
+    print(f"wrote {out} ({len(encoded)} frames); open it in a browser")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,6 +60,10 @@ def load_heightmap(path: str, z_scale: float = None) -> np.ndarray:
         h = flat.reshape(n, n)
     elif ext == ".asc":
         h = _load_esri_ascii(path)
+    elif ext in (".xyz", ".csv", ".txt"):
+        # scattered point cloud -> gridded heightmap (io/pointcloud.py)
+        from hmrt_tpu.io.pointcloud import grid_points, load_points
+        h = grid_points(load_points(path), n=1024)
     else:
         raise ValueError(f"unsupported heightmap format: {ext}")
     return normalize_heights(h, z_scale)

@@ -44,6 +44,25 @@ def write_png(path: str, img: np.ndarray) -> None:
         f.write(_chunk(b"IEND", b""))
 
 
+def write_png16(path: str, img: np.ndarray) -> None:
+    """Write (H, W) float [0,1] or uint16 grayscale as 16-bit PNG
+    (lossless heightmap export)."""
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError(f"write_png16 wants (H, W), got {img.shape}")
+    if img.dtype != np.uint16:
+        img = (np.clip(img, 0.0, 1.0) * 65535.0 + 0.5).astype(np.uint16)
+    h, w = img.shape
+    be = img.astype(">u2")
+    raw = b"".join(b"\x00" + be[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(_PNG_SIG)
+        f.write(_chunk(b"IHDR", ihdr))
+        f.write(_chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(_chunk(b"IEND", b""))
+
+
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     out = np.zeros((h, stride), np.uint8)
     pos = 0
