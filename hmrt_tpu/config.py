@@ -82,5 +82,9 @@ class RenderConfig:
             return self.max_steps
         if self.traversal == "dda":
             return 4 * n_cells
-        # max-mip: O(log N) descent/ascent cycles; generous static cap.
-        return 16 * max(n_cells - 1, 1).bit_length() + 64
+        # max-mip: grazing terrain-hugging rays march O(N) fine cells with
+        # descend/ascend overhead (measured ~1070 avg steps/ray on a 4096^2
+        # horizon view) — the cap must scale with N, not log N, or long
+        # rays are silently abandoned as misses. The wavefront loop exits
+        # early via the live mask, so a generous bound costs nothing.
+        return 8 * n_cells + 256

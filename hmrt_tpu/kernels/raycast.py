@@ -178,12 +178,18 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
         nb = m5 >> lvl
         return boff + (cy >> 5) * nb + (cx >> 5)
 
-    def march(ox, oy, oz, dx, dy, dz, valid0):
+    def march(ox, oy, oz, dx, dy, dz, valid0, start_cell=None):
         """Full coarse+brick max-mip march for one tile of rays.
 
         Returns (hit, t_hit, hx, hy). Identical traversal math to
         traversal.march.march_maxmip (shared helpers), restructured into
         the coarse phase (VMEM) + brick demand loop (HBM DMA).
+
+        `start_cell=(cx, cy)`: begin at level 0 in that fine cell instead
+        of descending from the pyramid top — used for shadow rays, whose
+        origins sit in the primary hit cell (starting at any level is
+        correct; this keeps them column-coherent with the primary march
+        and skips the full coarse descent).
         """
         t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max)
         inv_x, inv_y = ray_inverses(dx, dy)
@@ -193,8 +199,13 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
         valid = valid & ~sky
 
         top = levels - 1
-        lvl = jnp.full(shp, top, jnp.int32)
-        icx, icy = entry_cell(ox, oy, dx, dy, t0, lvl, 1)
+        if start_cell is None:
+            lvl = jnp.full(shp, top, jnp.int32)
+            icx, icy = entry_cell(ox, oy, dx, dy, t0, lvl, 1)
+        else:
+            lvl = jnp.zeros(shp, jnp.int32)
+            icx = jnp.clip(start_cell[0], 0, m - 1)
+            icy = jnp.clip(start_cell[1], 0, m - 1)
         # masks are carried as int32: Mosaic cannot yield i1 vectors
         # through scf.while
         st = dict(
@@ -456,7 +467,7 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
         l_z = jnp.full(shp, lz)
         occ, _, _, _, _ = march(jnp.where(hit, sxo, -1e6),
                                 jnp.where(hit, syo, -1e6), szo,
-                                l_x, l_y, l_z, hit)
+                                l_x, l_y, l_z, hit, start_cell=(hx, hy))
         diff = jnp.where(occ, 0.0, diff)
 
     # ================= final shading =================
