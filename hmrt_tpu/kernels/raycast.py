@@ -33,9 +33,17 @@ import os
 # perf-policy experiment knobs (tuned on hardware; see TODO.md)
 _ASC_CAP = int(os.environ.get("HMRT_ASC_CAP", "3"))
 # columns served per demand-loop iteration: more columns raise the active
-# lane count in column-diverged tiles for ~linear extra gather cost
-# (1/2/4/8 measured 807/561/510/748 ms on the 1024^2 HD workload)
-_N_COL = int(os.environ.get("HMRT_N_COL", "4"))
+# lane count in column-diverged tiles for ~linear extra gather cost.
+# Tile footprints span more columns on larger maps, so the sweet spot
+# scales with map size (1024^2 HD: 1/2/4/8 -> 807/561/510/748 ms;
+# 4096^2 HD: 4/8 -> 5773/5499 ms). 0 = auto by map size.
+_N_COL = int(os.environ.get("HMRT_N_COL", "0"))
+
+
+def _n_col_for(m5: int) -> int:
+    if _N_COL:
+        return _N_COL
+    return 8 if m5 >= 128 else 4
 # ascending after a failed level-0 test makes terrain-hugging rays
 # ping-pong descend/ascend around the surface: measured 1.75x slower
 _ASCEND_ON_TEST_MISS = os.environ.get("HMRT_ASC_MISS", "0") == "1"
@@ -130,7 +138,8 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
                    col_scr, shade_scr, albedo_scr, sems,
                    config: RenderConfig, n: int, m: int, levels: int,
                    m5: int, l32: int, W: int, H: int, full_h: int,
-                   coarse_cap: int, brick_cap: int, inner_cap: int):
+                   coarse_cap: int, brick_cap: int, inner_cap: int,
+                   n_col: int):
     intersector = INTERSECTORS[config.cell_intersect]
     world_max = float(n - 1)
     nb0sq = m5 * m5
@@ -284,7 +293,7 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
             keys = col_of(st)
             sels = []
             rest = keys
-            for c in range(_N_COL):
+            for c in range(n_col):
                 sc = jnp.min(rest)
                 sels.append(sc)
                 rest = jnp.where(rest == sc, BIG_KEY, rest)
@@ -292,7 +301,7 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
                 scc = jnp.minimum(sc, m5 * m5 - 1)
                 pltpu.make_async_copy(columns_hbm.at[scc], col_scr.at[c],
                                       sems.at[c]).start()
-            for c in range(_N_COL):
+            for c in range(n_col):
                 pltpu.make_async_copy(columns_hbm.at[0], col_scr.at[c],
                                       sems.at[c]).wait()
             sel = sels[0]
@@ -545,10 +554,11 @@ def _render_pallas_jit(params, packed_coarse, packed_columns,
     brick_cap = 16 * m5 + 512     # safety bound; the demand loop exits early
     inner_cap = 256
 
+    n_col = _n_col_for(m5)
     kern = functools.partial(
         _render_kernel, config=config, n=n, m=m, levels=levels, m5=m5,
         l32=l32, W=W, H=H, full_h=full_h, coarse_cap=coarse_cap,
-        brick_cap=brick_cap, inner_cap=inner_cap)
+        brick_cap=brick_cap, inner_cap=inner_cap, n_col=n_col)
 
     def kernel_entry(params_ref, coarse_ref, columns, shade, albedo, *refs):
         out_refs = refs[:n_out]
@@ -574,10 +584,10 @@ def _render_pallas_jit(params, packed_coarse, packed_columns,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((_N_COL, COL_ROWS, TILE_W), jnp.float32),  # col records
+            pltpu.VMEM((n_col, COL_ROWS, TILE_W), jnp.float32),  # col records
             pltpu.VMEM((8, 8, TILE_W), jnp.float32),      # shade bricks
             pltpu.VMEM((12, 8, TILE_W), jnp.float32),     # albedo bricks
-            pltpu.SemaphoreType.DMA((max(_N_COL, 2),)),
+            pltpu.SemaphoreType.DMA((max(n_col, 2),)),
         ],
         interpret=interpret,
     )(params, packed_coarse, packed_columns, packed_shade, albedo)
