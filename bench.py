@@ -20,7 +20,15 @@ def main():
 
     from hmrt_tpu.bench.runner import run_bench
 
-    row = run_bench("B3", frames=frames, scale=scale, reps=2)
+    # the remote-TPU tunnel occasionally drops mid-run; one retry keeps the
+    # driver's metric line flowing (observed: compile-server broken pipe,
+    # transient worker restarts)
+    try:
+        row = run_bench("B3", frames=frames, scale=scale, reps=2)
+    except Exception as e:
+        sys.stderr.write(f"bench attempt 1 failed ({type(e).__name__}); "
+                         "retrying once\n")
+        row = run_bench("B3", frames=frames, scale=scale, reps=2)
     out = {
         "metric": "ms_per_frame_B3_4096sq_1920x1080_shadows_phong_1chip",
         "value": row["ms_per_frame"],
