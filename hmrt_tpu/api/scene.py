@@ -46,9 +46,14 @@ def make_scene(heights, albedo=None, light: Light | None = None,
     scene = Scene(heights=heights, pyr_flat=pyr, albedo=alb,
                   light=light if light is not None else Light.create(),
                   packed=None, n=n, m=m, levels=levels)
+    if pack and m < 64:
+        raise ValueError(
+            "pack=True cannot be honored: the brick kernel needs a padded "
+            f"cell grid of >= 64 (heightmap >= 66 samples); got M={m}. "
+            "Pass pack=False/None to use the oracle path for small scenes.")
     if pack is None:
         pack = m >= 64   # brick kernel needs >= 2x2 bricks of 32 cells
-    if pack and m >= 64:
+    if pack:
         from hmrt_tpu.kernels.packing import pack_scene
         import dataclasses
         scene = dataclasses.replace(scene, packed=pack_scene(scene))

@@ -37,7 +37,15 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig) -> Frame:
       "auto":   pallas when the scene is packed and a TPU is present.
     """
     interpret = jax.default_backend() != "tpu"
-    if config.backend == "compact" and scene.packed is not None:
+    if config.backend in ("pallas", "compact") and scene.packed is None:
+        # an explicitly requested kernel path must not silently downgrade
+        # to the (~16x slower) oracle — a benchmark would measure the
+        # wrong thing; use make_scene(pack=True) or backend="auto"
+        raise ValueError(
+            f"backend={config.backend!r} requested but the scene is not "
+            "brick-packed (scene.packed is None); build it with "
+            "make_scene(..., pack=True) or use backend='auto'")
+    if config.backend == "compact":
         from hmrt_tpu.kernels.compact import render_frame_compact
         return render_frame_compact(scene, scene.packed, camera, config,
                                     interpret=interpret)
@@ -45,7 +53,7 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig) -> Frame:
                   or (config.backend == "auto"
                       and scene.packed is not None
                       and jax.default_backend() == "tpu"))
-    if use_pallas and scene.packed is not None:
+    if use_pallas:
         from hmrt_tpu.kernels.raycast import render_frame_pallas
         return render_frame_pallas(scene, scene.packed, camera, config,
                                    interpret=interpret)
@@ -117,13 +125,18 @@ def shade_hits(scene: Scene, config: RenderConfig,
         sx = px + lx * SHADOW_EPS + nx * SHADOW_EPS
         sy = py + ly * SHADOW_EPS + ny * SHADOW_EPS
         sz = pz + lz * SHADOW_EPS + nz * SHADOW_EPS
+        # the shadow march is always max-mip, so its step cap must use the
+        # max-mip formula even when config.traversal == "dda" (whose 4*N cap
+        # has no slack for descend/ascend overhead: grazing shadow rays
+        # could hit the cap and be silently reported unoccluded)
+        shadow_cap = config.max_steps or (8 * scene.n_cells + 256)
         occ = march_maxmip(
             jnp.where(hit, sx, -1e6), jnp.where(hit, sy, -1e6), sz,
             jnp.broadcast_to(lx, px.shape), jnp.broadcast_to(ly, px.shape),
             jnp.broadcast_to(lz, px.shape),
             scene.pyr_flat, heights_flat,
             n=n, m=scene.m, levels=scene.levels,
-            max_steps=config.steps_for(scene.n_cells),
+            max_steps=shadow_cap,
             cell_intersect=config.cell_intersect, any_hit=True).hit
         diff = jnp.where(occ, 0.0, diff)
 

@@ -130,6 +130,14 @@ def read_png(path: str) -> np.ndarray:
     bpp = channels * depth // 8
     stride = w * bpp
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    # untrusted input gate: the scanline buffer must be exactly
+    # h * (1 filter byte + stride) long, or the (native C++) unfilter
+    # would read out of bounds on a truncated/corrupt IDAT stream
+    expect = h * (stride + 1)
+    if raw.shape[0] != expect:
+        raise ValueError(
+            f"{path}: corrupt PNG — IDAT inflates to {raw.shape[0]} bytes, "
+            f"IHDR implies {expect} ({h} rows x (1 + {stride}))")
     # native unfilter when available (pure-Python fallback is interpreter-
     # speed: minutes for an 8192^2 DEM)
     from hmrt_tpu.io import native as _native

@@ -120,7 +120,7 @@ class Scene:
 
     heights: jax.Array     # (N, N) f32 height samples, world z units
     pyr_flat: jax.Array    # (T,) f32 flattened max pyramid over cells
-    albedo: jax.Array | None  # (N, N, 3) f32 texture, or None
+    albedo: jax.Array | None  # (3, N*N) planar f32 texture (see make_scene), or None
     light: Light
     #: brick-packed layout for the Pallas kernel (kernels/packing.py),
     #: or None when only the oracle path is used
