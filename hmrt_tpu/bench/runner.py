@@ -47,16 +47,30 @@ def run_bench(name: str, frames: int | None = None, scale: float = 1.0,
             fov_y=jax.numpy.broadcast_to(cam.fov_y, (n_frames,)),
         )
 
+    # hit fraction from one real frame (shadow rays exist only for hit
+    # pixels — this keeps the Mrays/s metric honest on sky-heavy views)
+    hit_frac = None
+    if render.shadows:
+        import numpy as np
+        from hmrt_tpu.core.renderer import render_frame
+        fr = render_frame(scene, cam, render)
+        hit_frac = float(np.asarray(fr.hit).mean())
+
+    note = None
     if cfg.sharded and len(jax.devices()) > 1:
         from hmrt_tpu.distrib.mesh import make_mesh, replicate_scene
         from hmrt_tpu.distrib.bench import time_animation_sharded
         mesh = make_mesh()
         scene = replicate_scene(scene, mesh)
         stats = time_animation_sharded(scene, cams, render, n_frames,
-                                       mesh, reps=reps)
+                                       mesh, reps=reps, hit_frac=hit_frac)
         chips = len(jax.devices())
     else:
-        stats = time_animation(scene, cams, render, n_frames, reps=reps)
+        if cfg.sharded:
+            note = ("UNSHARDED FALLBACK: config is multi-chip but only one "
+                    "device is attached; number below is single-chip")
+        stats = time_animation(scene, cams, render, n_frames, reps=reps,
+                               hit_frac=hit_frac)
         chips = 1
 
     row = {
@@ -70,6 +84,10 @@ def run_bench(name: str, frames: int | None = None, scale: float = 1.0,
         **{k: (round(v, 3) if isinstance(v, float) else v)
            for k, v in stats.items()},
     }
+    if hit_frac is not None:
+        row["hit_frac"] = round(hit_frac, 4)
+    if note:
+        row["note"] = note
     return row
 
 

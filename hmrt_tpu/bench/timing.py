@@ -69,8 +69,15 @@ def _loop_frames(scene, cams, salt, config, n_frames):
 
 def time_animation(scene: Scene, cams: Camera, config: RenderConfig,
                    n_frames: int, reps: int = 3,
-                   render_scan=None) -> dict:
-    """ms/frame (median over reps) for an n_frames animation."""
+                   render_scan=None, hit_frac: float | None = None) -> dict:
+    """ms/frame (median over reps) for an n_frames animation.
+
+    `hit_frac` (fraction of pixels that hit terrain, measured on a real
+    frame by the caller) makes the shadow-ray count honest: shadow rays
+    exist only for hit pixels, so total rays/frame = W*H*(1 + hit_frac)
+    when shadows are on — NOT W*H*2, which would overstate Mrays/s on
+    sky-heavy views. Primary-only Mrays/s is always reported alongside.
+    """
     use_scan = (render_scan is not None
                 or config.backend == "oracle"
                 or scene.packed is None
@@ -90,12 +97,19 @@ def time_animation(scene: Scene, cams: Camera, config: RenderConfig,
     times.sort()
     med = times[len(times) // 2]
     ms = med / n_frames * 1e3
-    rays_per_frame = config.width * config.height * (2 if config.shadows else 1)
-    return {
+    primary = config.width * config.height
+    shadow_mult = (1.0 + (hit_frac if hit_frac is not None else 1.0)
+                   if config.shadows else 1.0)
+    rays_per_frame = primary * shadow_mult
+    out = {
         "ms_per_frame": ms,
         "fps": 1e3 / ms if ms > 0 else float("inf"),
         "mrays_per_s": rays_per_frame / (ms / 1e3) / 1e6,
+        "mrays_per_s_primary": primary / (ms / 1e3) / 1e6,
         "frames": n_frames,
         "reps": reps,
         "all_times_ms": [t / n_frames * 1e3 for t in times],
     }
+    if config.shadows:
+        out["shadow_rays_per_frame"] = int(primary * (shadow_mult - 1.0))
+    return out

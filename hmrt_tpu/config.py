@@ -54,16 +54,11 @@ class RenderConfig:
     specular: float = 0.5
     shininess: float = 32.0
     fog_density: float = 0.0015
-    shadow_softness: float = 0.0  # 0 = hard shadow ray
-
-    # --- precision ---
-    #: dtype for shading arithmetic; traversal always runs f32 for fidelity.
-    shade_dtype: str = "float32"
 
     # --- performance knobs ---
-    #: Screen-tile height/width for the Pallas kernel path.
+    #: Screen-tile height for the Pallas kernel path (the tile width is
+    #: fixed at 128 — the VPU register lane count).
     tile_h: int = 8
-    tile_w: int = 128
     #: "oracle"  = pure-XLA batched wavefront (runs anywhere, is the spec)
     #: "pallas"  = fused Pallas tile kernel (TPU production path)
     #: "compact" = budgeted march passes + ray compaction (experimental)

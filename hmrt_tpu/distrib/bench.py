@@ -13,7 +13,8 @@ from hmrt_tpu.types import Camera, Scene
 
 
 def time_animation_sharded(scene: Scene, cams: Camera, config: RenderConfig,
-                           n_frames: int, mesh, reps: int = 3) -> dict:
+                           n_frames: int, mesh, reps: int = 3,
+                           hit_frac: float | None = None) -> dict:
     # host-side frame loop: wrapping the sharded pallas render in lax.scan
     # miscompiled/crashed on hardware (see bench/timing.py _loop_frames)
     def loop(scene, cams, salt, config, n_frames):
@@ -27,4 +28,4 @@ def time_animation_sharded(scene: Scene, cams: Camera, config: RenderConfig,
         return acc
 
     return time_animation(scene, cams, config, n_frames, reps=reps,
-                          render_scan=loop)
+                          render_scan=loop, hit_frac=hit_frac)

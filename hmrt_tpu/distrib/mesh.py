@@ -52,13 +52,19 @@ def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
 
 
 def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
-                         mesh: Mesh | None = None) -> Frame:
+                         mesh: Mesh | None = None,
+                         use_pallas: bool | None = None) -> Frame:
     """Multi-chip render (SURVEY.md section 3.6): each chip renders its
     row-band of the screen; the full frame is all-gathered over ICI.
 
     Pixel-identical to the single-device render (tests/test_sharded.py):
     the per-ray pipeline is the same jitted math, only the raygen index
     range differs per shard.
+
+    use_pallas: None = auto (fused tile kernel when the scene is packed
+    and a TPU backend is present, else the oracle inside shard_map);
+    True forces the kernel band path (interpret mode off-TPU — this is
+    how CI pixel-checks the row0-shifted raygen on the virtual CPU mesh).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -66,29 +72,34 @@ def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
     H, W = config.height, config.width
     if H % ndev != 0:
         raise ValueError(f"height {H} must divide evenly over {ndev} devices")
-    return _render_sharded_jit(scene, camera, config, mesh)
+    if use_pallas is None:
+        use_pallas = (config.backend != "oracle" and scene.packed is not None
+                      and jax.default_backend() == "tpu")
+    return _render_sharded_jit(scene, camera, config, mesh,
+                               use_pallas=use_pallas)
 
 
-@partial(jax.jit, static_argnames=("config", "mesh"))
+@partial(jax.jit, static_argnames=("config", "mesh", "use_pallas"))
 def _render_sharded_jit(scene: Scene, camera: Camera, config: RenderConfig,
-                        mesh: Mesh) -> Frame:
+                        mesh: Mesh, use_pallas: bool = False) -> Frame:
     H, W = config.height, config.width
     ndev = mesh.devices.size
     band = H // ndev
 
-    use_pallas = (config.backend != "oracle" and scene.packed is not None
-                  and jax.default_backend() == "tpu" and band % 8 == 0)
     if use_pallas:
         # each chip runs the fused tile kernel on its row band, with raygen
-        # shifted into the full screen's NDC space (kernels/raycast.py)
+        # shifted into the full screen's NDC space (kernels/raycast.py);
+        # the kernel pads any band height to tile multiples internally and
+        # crops, so band does not need to divide the tile height
         from hmrt_tpu.kernels.raycast import render_frame_pallas
         band_cfg = dataclasses.replace(config, height=band)
+        interpret = jax.default_backend() != "tpu"
 
         def render_band_k(scene_rep, cam):
             row0 = jax.lax.axis_index("tiles") * band
             fr = render_frame_pallas(scene_rep, scene_rep.packed, cam,
                                      band_cfg, row0=row0.astype(jnp.float32),
-                                     full_height=H)
+                                     full_height=H, interpret=interpret)
             out = (fr.color,
                    fr.depth if fr.depth is not None
                    else jnp.zeros((band, W), jnp.float32),

@@ -12,11 +12,13 @@ compaction architecture:
   2. a MARCH PASS is one Pallas kernel sweep over (8,128)-lane blocks of
      ray state: coarse VMEM phase + column demand loop, with a bounded
      per-block iteration budget; unresolved lanes exit with saved state;
-  3. after the first (screen-ordered) pass, surviving rays are SORTED by
-     their current terrain column (one argsort + row-gather — the state
-     rides in a (P,16) f32 row matrix so the permutation is a fast row
-     gather), making every subsequent block column-coherent; passes repeat
-     under a lax.while_loop until every ray resolves;
+  3. PERIODIC COMPACTION: before every round, surviving rays are SORTED
+     by their current terrain column (one argsort + row-gather — ray
+     state AND accumulated hit results ride in a (P, 15) f32 row matrix
+     so the permutation is a fast row gather), making every block
+     column-coherent again; rounds are python-unrolled (while/scan around
+     pallas_call miscompiles — BENCH_NOTES.md) and the last one is
+     unbudgeted, so every ray resolves;
   4. hits are sorted by hit column once more for the SHADE PASS (corner
      gradients + albedo fetched per column), shadow rays reuse that same
      ordering, and the final color math is plain fused XLA elementwise.
@@ -36,17 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hmrt_tpu.config import RenderConfig
 from hmrt_tpu.core.renderer import SHADOW_EPS
+from hmrt_tpu.kernels.march_body import (BIG_KEY, _multi_gather, _vreg_gather,
+                                         cascade_index, column_of,
+                                         fine_gathers, wavefront_step)
 from hmrt_tpu.kernels.packing import COL_ROWS, CORNER_ROW, PackedScene, cascade_offsets
-from hmrt_tpu.kernels import raycast as rk
 from hmrt_tpu.shading import shade as sh
 from hmrt_tpu.traversal.intersect import BIG_T, INTERSECTORS
-from hmrt_tpu.traversal.march import (T_TOL, EPS_EXIT, ascent_levels,
-                                      descend_cell, entry_cell,
-                                      ray_box_range, ray_inverses,
-                                      step_geometry)
+from hmrt_tpu.traversal.march import entry_cell, ray_box_range, ray_inverses
 from hmrt_tpu.types import Camera, Frame, Scene
 
-BIG_KEY = rk.BIG_KEY
 LANES = 1024          # rays per kernel block: one (8,128) register set
 
 
@@ -57,15 +57,18 @@ LANES = 1024          # rays per kernel block: one (8,128) register set
 def _march_pass_kernel(coarse_ref, columns_hbm,
                        ox_r, oy_r, oz_r, dx_r, dy_r, dz_r,
                        t_r, lvl_r, icx_r, icy_r, alive_r,
-                       alive_o, t_o, lvl_o, icx_o, icy_o,
-                       hit_o, thit_o, hx_o, hy_o,
-                       col_scr, sems, *,
+                       hit_r, thit_r, hx_r, hy_r,
+                       *refs,
                        n: int, m: int, levels: int, m5: int, l32: int,
                        cell_intersect: str,
-                       coarse_cap: int, budget: int, inner_cap: int):
+                       coarse_cap: int, budget: int, inner_cap: int,
+                       n_col: int, debug: bool = False):
+    (alive_o, t_o, lvl_o, icx_o, icy_o,
+     hit_o, thit_o, hx_o, hy_o) = refs[:9]
+    dbg_refs = refs[9:-2] if debug else ()
+    col_scr, sems = refs[-2], refs[-1]
     intersector = INTERSECTORS[cell_intersect]
     world_max = float(n - 1)
-    shp = (8, 128)
     top = levels - 1
 
     ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
@@ -84,13 +87,19 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         coff = ((1024 - (1024 >> (2 * q))) * 4) // 3
         return coff + cy * side + cx
 
+    # hit state rides THROUGH passes so resort rounds accumulate results
     st = dict(
         t=t_r[:], lvl=lvl_r[:], icx=icx_r[:], icy=icy_r[:],
         alive=alive_r[:],
-        hit=jnp.zeros(shp, jnp.int32),
-        t_hit=jnp.full(shp, BIG_T, jnp.float32),
-        hx=jnp.zeros(shp, jnp.int32), hy=jnp.zeros(shp, jnp.int32),
+        hit=hit_r[:], t_hit=thit_r[:], hx=hx_r[:], hy=hy_r[:],
     )
+    if debug:
+        shp = st["t"].shape
+        # per-lane served-step count, level-0 step count, block iteration
+        # count — perf diagnosis planes (lane efficiency = work / iters)
+        st["work"] = jnp.zeros(shp, jnp.int32)
+        st["n0"] = jnp.zeros(shp, jnp.int32)
+        st["nit"] = jnp.zeros(shp, jnp.int32)
 
     # -------- phase A: coarse levels (VMEM), uncapped by the budget --------
     def a_cond(c):
@@ -101,48 +110,21 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
     def a_body(c):
         i, st = c
         act = (st["alive"] != 0) & (st["lvl"] >= l32)
-        t, lvl, icx, icy = st["t"], st["lvl"], st["icx"], st["icy"]
-        t_exit, nx, ny, bnd = step_geometry(ox, oy, dx, dy, icx, icy, lvl,
-                                            inv_x, inv_y)
-        t_exit_c = jnp.minimum(t_exit, t1)
-        zmin = oz + jnp.minimum(t * dz, t_exit_c * dz)
+        lvl, icx, icy = st["lvl"], st["icx"], st["icy"]
         side = m >> lvl
         cidx = coarse_index(lvl, jnp.clip(icy, 0, side - 1),
                             jnp.clip(icx, 0, side - 1))
-        cmax = rk._vreg_gather(cbuf, cidx, 11)
-        skip = zmin > cmax
-        descend = act & ~skip
-        advance = act & skip
-        dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy, lvl)
-        asc = jnp.where(advance, jnp.minimum(ascent_levels(bnd), 3), 0)
-        asc = jnp.minimum(asc, top - lvl)
-        new_lvl = jnp.where(descend, lvl - 1, lvl + asc)
-        adv_x = nx >> asc
-        adv_y = ny >> asc
-        new_icx = jnp.where(descend, dcx, jnp.where(advance, adv_x, icx))
-        new_icy = jnp.where(descend, dcy, jnp.where(advance, adv_y, icy))
-        new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
-        new_side = m >> new_lvl
-        escaped = advance & (oz + new_t * dz > gmax) & (dz > 0.0)
-        out = (advance & ((t_exit >= t1 - EPS_EXIT)
-                          | (new_icx < 0) | (new_icx >= new_side)
-                          | (new_icy < 0) | (new_icy >= new_side))
-               | escaped)
-        st = dict(st)
-        st["t"] = jnp.where(act, new_t, t)
-        st["lvl"] = jnp.where(act, new_lvl, lvl)
-        st["icx"] = jnp.where(act, new_icx, icx)
-        st["icy"] = jnp.where(act, new_icy, icy)
-        st["alive"] = st["alive"] * (1 - out.astype(jnp.int32))
+        cmax = _vreg_gather(cbuf, cidx, 11)
+        st = wavefront_step(st, act, ox, oy, oz, dx, dy, dz,
+                            inv_x, inv_y, t1, gmax, cmax,
+                            m=m, asc_cap=3, lvl_ceiling=top)
         return i + 1, st
 
     _, st = jax.lax.while_loop(a_cond, a_body, (jnp.int32(0), st))
 
     # -------- phase B: column demand loop with iteration budget --------
     def col_of(st):
-        colx = jnp.clip((st["icx"] << st["lvl"]) >> 5, 0, m5 - 1)
-        coly = jnp.clip((st["icy"] << st["lvl"]) >> 5, 0, m5 - 1)
-        return jnp.where(st["alive"] != 0, coly * m5 + colx, BIG_KEY)
+        return column_of(st, m5)
 
     offs = cascade_offsets(l32)
 
@@ -152,76 +134,52 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
 
     def b_body(c):
         nin, st = c
-        sel = jnp.min(col_of(st))
-        cp = pltpu.make_async_copy(columns_hbm.at[sel], col_scr, sems.at[0])
-        cp.start()
-        cp.wait()
-        casc = col_scr[0:CORNER_ROW, :]
-        c00 = col_scr[CORNER_ROW + 0:CORNER_ROW + 8, :]
-        c10 = col_scr[CORNER_ROW + 8:CORNER_ROW + 16, :]
-        c01 = col_scr[CORNER_ROW + 16:CORNER_ROW + 24, :]
-        c11 = col_scr[CORNER_ROW + 24:CORNER_ROW + 32, :]
+        keys = col_of(st)
+        sels = []
+        rest = keys
+        for c in range(n_col):
+            sc = jnp.min(rest)
+            sels.append(sc)
+            rest = jnp.where(rest == sc, BIG_KEY, rest)
+        for c, sc in enumerate(sels):
+            scc = jnp.minimum(sc, m5 * m5 - 1)
+            pltpu.make_async_copy(columns_hbm.at[scc], col_scr.at[c],
+                                  sems.at[c]).start()
+        for c in range(n_col):
+            pltpu.make_async_copy(columns_hbm.at[0], col_scr.at[c],
+                                  sems.at[c]).wait()
+
+        def in_set(st):
+            cols = col_of(st)
+            ok = cols == sels[0]
+            for sc in sels[1:]:
+                ok = ok | (cols == sc)
+            return ok
 
         def i_cond(cc):
             k, st = cc
             return (k < inner_cap) & jnp.any((st["alive"] != 0)
-                                             & (col_of(st) == sel))
+                                             & in_set(st))
 
         def i_body(cc):
             k, st = cc
-            act = (st["alive"] != 0) & (col_of(st) == sel)
-            t, lvl, icx, icy = st["t"], st["lvl"], st["icx"], st["icy"]
-            t_exit, nx, ny, bnd = step_geometry(ox, oy, dx, dy, icx, icy,
-                                                lvl, inv_x, inv_y)
-            t_exit_c = jnp.minimum(t_exit, t1)
-            zmin = oz + jnp.minimum(t * dz, t_exit_c * dz)
-            s_loc = jnp.maximum(32 >> lvl, 1)
-            mask_l = s_loc - 1
-            off = jnp.zeros(shp, jnp.int32)
-            for l in range(l32):
-                off = jnp.where(lvl == l, offs[l], off)
-            fidx = off + (icy & mask_l) * s_loc + (icx & mask_l)
-            cmax = rk._vreg_gather(casc, fidx, 11)
-            skip = zmin > cmax
+            act = (st["alive"] != 0) & in_set(st)
+            lvl, icx, icy = st["lvl"], st["icx"], st["icy"]
+            if debug:
+                st = dict(st, work=st["work"] + act.astype(jnp.int32),
+                          n0=st["n0"] + (act & (lvl == 0)).astype(jnp.int32),
+                          nit=st["nit"] + 1)
             at0 = lvl == 0
-            descend = act & ~skip & ~at0
-            test = act & ~skip & at0
+            fidx = cascade_index(lvl, icx, icy, l32, offs)
             f0 = (icy & 31) * 32 + (icx & 31)
-            z00, z10, z01, z11 = rk._multi_gather((c00, c10, c01, c11), f0)
-            hit_now, t_c = intersector(ox, oy, oz, dx, dy, dz, icx, icy,
-                                       z00, z10, z01, z11,
-                                       t - T_TOL, t_exit_c + T_TOL)
-            hit_now = hit_now & test
-            advance = act & ~descend & ~hit_now
-            dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy, lvl)
-            # no ascent after a failed exact test (see raycast.py)
-            asc = jnp.where(act & skip & advance,
-                            jnp.minimum(ascent_levels(bnd), 3), 0)
-            asc = jnp.minimum(asc, (l32 - 1) - lvl)
-            new_lvl = jnp.where(descend, lvl - 1, lvl + asc)
-            adv_x = nx >> asc
-            adv_y = ny >> asc
-            new_icx = jnp.where(descend, dcx, jnp.where(advance, adv_x, icx))
-            new_icy = jnp.where(descend, dcy, jnp.where(advance, adv_y, icy))
-            new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
-            new_side = m >> new_lvl
-            escaped = advance & (oz + new_t * dz > gmax) & (dz > 0.0)
-            out = (advance & ((t_exit >= t1 - EPS_EXIT)
-                              | (new_icx < 0) | (new_icx >= new_side)
-                              | (new_icy < 0) | (new_icy >= new_side))
-                   | escaped)
-            st = dict(st)
-            st["t"] = jnp.where(act, new_t, t)
-            st["lvl"] = jnp.where(act, new_lvl, lvl)
-            st["icx"] = jnp.where(act, new_icx, icx)
-            st["icy"] = jnp.where(act, new_icy, icy)
-            st["alive"] = (st["alive"]
-                           * (1 - hit_now.astype(jnp.int32))
-                           * (1 - out.astype(jnp.int32)))
-            st["hit"] = jnp.maximum(st["hit"], hit_now.astype(jnp.int32))
-            st["t_hit"] = jnp.where(hit_now, t_c, st["t_hit"])
-            st["hx"] = jnp.where(hit_now, icx, st["hx"])
-            st["hy"] = jnp.where(hit_now, icy, st["hy"])
+            cols_now = col_of(st)
+            cmax, corners_fn = fine_gathers(col_scr, sels, cols_now,
+                                            act, at0, lvl, fidx, f0,
+                                            l32, CORNER_ROW)
+            st = wavefront_step(
+                st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
+                gmax, cmax, corners_fn, m=m, asc_cap=3,
+                lvl_ceiling=l32 - 1, intersector=intersector)
             return k + 1, st
 
         k, st = jax.lax.while_loop(i_cond, i_body, (jnp.int32(0), st))
@@ -238,6 +196,10 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
     thit_o[:] = st["t_hit"]
     hx_o[:] = st["hx"]
     hy_o[:] = st["hy"]
+    if debug:
+        dbg_refs[0][:] = st["work"]
+        dbg_refs[1][:] = st["n0"]
+        dbg_refs[2][:] = st["nit"]
 
 
 def _plane_specs(k):
@@ -247,48 +209,57 @@ def _plane_specs(k):
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "m", "levels", "m5", "l32",
-                                    "cell_intersect", "budget", "interpret"))
-def march_pass(coarse, columns, rays, state, *, n, m, levels, m5, l32,
-               cell_intersect, budget, interpret=False):
+                                    "cell_intersect", "budget", "n_col",
+                                    "interpret", "debug"))
+def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
+               l32, cell_intersect, budget, n_col=2, interpret=False,
+               debug=False):
     """One budgeted march sweep over all ray blocks.
 
-    rays:  (ox, oy, oz, dx, dy, dz) planes, each f32[P] with P % 1024 == 0
-    state: (alive_i32, t, lvl, icx, icy) planes
-    Returns (new_state, results) where results = (hit_i32, t_hit, hx, hy).
+    rays:    (ox, oy, oz, dx, dy, dz) planes, each f32[P] with P % 1024 == 0
+    state:   (alive_i32, t, lvl, icx, icy) planes
+    results: (hit_i32, t_hit, hx, hy) planes, carried THROUGH the pass so
+             resort rounds accumulate hits across passes
+    Returns (new_state, new_results).
     """
     P = rays[0].shape[0]
     R = P // 128
     planes = [r.reshape(R, 128) for r in rays] \
         + [state[1].reshape(R, 128), state[2].reshape(R, 128),
            state[3].reshape(R, 128), state[4].reshape(R, 128),
-           state[0].reshape(R, 128)]
+           state[0].reshape(R, 128)] \
+        + [r.reshape(R, 128) for r in results]
     grid = (R // 8,)
 
     kern = functools.partial(
         _march_pass_kernel, n=n, m=m, levels=levels, m5=m5, l32=l32,
         cell_intersect=cell_intersect,
-        coarse_cap=24 * levels + 96, budget=budget, inner_cap=256)
+        coarse_cap=24 * levels + 96, budget=budget, inner_cap=256,
+        n_col=n_col, debug=debug)
 
     out_dt = ([jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
-              + [jnp.int32, jnp.float32, jnp.int32, jnp.int32])
+              + [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
+              + ([jnp.int32] * 3 if debug else []))
     outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pl.ANY)]
-                  + _plane_specs(11)),
-        out_specs=_plane_specs(9),
+                  + _plane_specs(15)),
+        out_specs=_plane_specs(len(out_dt)),
         out_shape=[jax.ShapeDtypeStruct((R, 128), dt) for dt in out_dt],
         scratch_shapes=[
-            pltpu.VMEM((COL_ROWS, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_col, COL_ROWS, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((max(n_col, 2),)),
         ],
         interpret=interpret,
     )(coarse, columns, *planes)
     flat = [o.reshape(P) for o in outs]
     new_state = (flat[0], flat[1], flat[2], flat[3], flat[4])
-    results = (flat[5], flat[6], flat[7], flat[8])
-    return new_state, results
+    new_results = (flat[5], flat[6], flat[7], flat[8])
+    if debug:
+        return new_state, new_results, (flat[9], flat[10], flat[11])
+    return new_state, new_results
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +298,7 @@ def _shade_pass_kernel(shade_hbm, albedo_hbm,
             ca.wait()
         cs.wait()
         mine = pend == sel
-        gs = rk._multi_gather(tuple(shade_scr[c] for c in range(8)), f0)
+        gs = _multi_gather(tuple(shade_scr[c] for c in range(8)), f0)
         gx = bilerp(gs[0], gs[1], gs[2], gs[3])
         gy = bilerp(gs[4], gs[5], gs[6], gs[7])
         inv = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
@@ -335,7 +306,7 @@ def _shade_pass_kernel(shade_hbm, albedo_hbm,
         ny = jnp.where(mine, -gy * inv, ny)
         nz = jnp.where(mine, inv, nz)
         if textured:
-            ga = rk._multi_gather(tuple(albedo_scr[c] for c in range(12)), f0)
+            ga = _multi_gather(tuple(albedo_scr[c] for c in range(12)), f0)
             ar = jnp.where(mine, bilerp(ga[0], ga[1], ga[2], ga[3]), ar)
             ag = jnp.where(mine, bilerp(ga[4], ga[5], ga[6], ga[7]), ag)
             ab = jnp.where(mine, bilerp(ga[8], ga[9], ga[10], ga[11]), ab)
@@ -425,10 +396,12 @@ def _unpack_rows(rows, dtypes):
 
 @functools.partial(jax.jit,
                    static_argnames=("config", "n", "m", "levels", "m5",
-                                    "l32", "interpret", "first_budget"))
+                                    "l32", "interpret", "first_budget",
+                                    "rounds", "round_budget", "n_col"))
 def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
                         gmax, *, config: RenderConfig, n, m, levels, m5, l32,
-                        interpret, first_budget=256):
+                        interpret, first_budget=96, rounds=3,
+                        round_budget=256, n_col=2):
     H, W = config.height, config.width
     P = -(-H * W // LANES) * LANES
 
@@ -444,39 +417,52 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
     rays = (ox, oy, oz, dx, dy, dz)
 
     mkw = dict(n=n, m=m, levels=levels, m5=m5, l32=l32,
-               cell_intersect=config.cell_intersect, interpret=interpret)
+               cell_intersect=config.cell_intersect, n_col=n_col,
+               interpret=interpret)
+    state_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
+    res_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
 
-    def full_march(rays, state, first_budget=first_budget):
-        # pass 1: screen/launch order, budgeted
-        state, res = march_pass(coarse, columns, rays, state,
+    def full_march(rays, state):
+        """Budgeted march passes with PERIODIC COMPACTION (BASELINE.json:5):
+        before every round survivors are argsort'ed by their current
+        terrain column — state+results ride in a (P, 15) f32 row matrix so
+        the permutation is one fast row gather — which makes each (8,128)
+        ray block column-coherent, so the demand loop serves (nearly) all
+        of a block's lanes from the n_col records it DMAs. Rounds are
+        python-unrolled: wrapping pallas_call in lax.while_loop/scan
+        miscompiled on real hardware (BENCH_NOTES.md platform hazards).
+        The last round is effectively unbudgeted, guaranteeing completion
+        (the march makes integer progress every iteration)."""
+        P = rays[0].shape[0]
+        res = (jnp.zeros(P, jnp.int32), jnp.full(P, BIG_T, jnp.float32),
+               jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32))
+        # pass 0: screen/launch order, small budget (sky + near hits
+        # resolve; survivors carry their column position into the sort)
+        state, res = march_pass(coarse, columns, rays, state, res,
                                 budget=first_budget, **mkw)
-        # compaction: sort survivors by current column, then march rounds
-        key = _column_key(state, m5)
-        perm = jnp.argsort(key)
-        inv = jnp.argsort(perm)
-        row_dts = ([jnp.float32] * 6
-                   + [jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32])
-        rows = _pack_rows(*rays, *state)
-        rows_s = jnp.take(rows, perm, axis=0)
-        cols = _unpack_rows(rows_s, row_dts)
-        rays_s = tuple(cols[:6])
-        state_s = tuple(cols[6:])
-
-        # one unbudgeted pass over the sorted (column-coherent) survivors.
-        # NOTE: wrapping the pallas_call in a lax.while_loop of rounds
-        # miscompiled on real hardware (hits silently lost; exact when the
-        # same rounds ran as separate dispatches) — a single generous pass
-        # resolves everything anyway since the march makes integer progress.
-        state_s, res2s = march_pass(coarse, columns, rays_s, state_s,
-                                    budget=1 << 22, **mkw)
-        res_rows = _pack_rows(*res2s)
-        res2 = _unpack_rows(jnp.take(res_rows, inv, axis=0),
-                            [jnp.int32, jnp.float32, jnp.int32, jnp.int32])
-        hit = (res[0] != 0) | (res2[0] != 0)
-        t_hit = jnp.where(res[0] != 0, res[1], res2[1])
-        hx = jnp.where(res[0] != 0, res[2], res2[2])
-        hy = jnp.where(res[0] != 0, res[3], res2[3])
-        return hit, t_hit, hx, hy
+        perm_tot = None
+        for r in range(rounds):
+            last = r == rounds - 1
+            key = _column_key(state, m5)
+            perm = jnp.argsort(key)
+            perm_tot = perm if perm_tot is None else jnp.take(perm_tot, perm)
+            rows = _pack_rows(*rays, *state, *res)
+            rows_s = jnp.take(rows, perm, axis=0)
+            cols = _unpack_rows(rows_s, [jnp.float32] * 6 + state_dts
+                                + res_dts)
+            rays = tuple(cols[:6])
+            state = tuple(cols[6:11])
+            res = tuple(cols[11:])
+            state, res = march_pass(coarse, columns, rays, state, res,
+                                    budget=(1 << 22) if last
+                                    else round_budget, **mkw)
+        # back to launch order (invert the composed permutation)
+        if perm_tot is not None:
+            inv = jnp.zeros(P, jnp.int32).at[perm_tot].set(
+                jnp.arange(P, dtype=jnp.int32))
+            res_rows = jnp.take(_pack_rows(*res), inv, axis=0)
+            res = _unpack_rows(res_rows, res_dts)
+        return res[0] != 0, res[1], res[2], res[3]
 
     hit, t_hit, hx, hy = full_march(rays, _init_state(
         ox, oy, oz, dx, dy, dz, valid0, gmax, n=n, levels=levels))
@@ -513,7 +499,7 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
                  jnp.broadcast_to(lx, (P,)), jnp.broadcast_to(ly, (P,)),
                  jnp.broadcast_to(lz, (P,)))
         sstate = _init_state(*srays, hit, gmax, n=n, levels=levels)
-        shit, _, _, _ = full_march(srays, sstate, first_budget=256)
+        shit, _, _, _ = full_march(srays, sstate)
         occ = shit
         diff = jnp.where(occ, 0.0, diff)
 
@@ -553,11 +539,19 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
 
 def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          config: RenderConfig, interpret: bool = False,
-                         first_budget: int = 256) -> Frame:
-    """Compacted-wavefront render (see module docstring)."""
+                         first_budget: int = 96, rounds: int = 3,
+                         round_budget: int = 256, n_col: int = 2) -> Frame:
+    """Compacted-wavefront render (see module docstring).
+
+    first_budget/rounds/round_budget/n_col: compaction schedule — the
+    screen-order pass budget, number of python-unrolled resort rounds
+    (the last is unbudgeted, guaranteeing completion), per-round budget,
+    and columns served per demand-loop iteration.
+    """
     gmax = scene.pyr_flat[-1]
     return _render_compact_jit(
         camera, scene.light, packed.coarse, packed.columns, packed.shade,
         packed.albedo, gmax, config=config, n=scene.n, m=scene.m,
         levels=scene.levels, m5=packed.m5, l32=packed.l32,
-        interpret=interpret, first_budget=first_budget)
+        interpret=interpret, first_budget=first_budget, rounds=rounds,
+        round_budget=round_budget, n_col=n_col)

@@ -1,0 +1,238 @@
+"""Shared masked-wavefront march step for the Pallas kernels.
+
+Both TPU kernels — the fused screen-tile kernel (kernels/raycast.py) and
+the compacted-wavefront march passes (kernels/compact.py) — execute the
+same per-iteration max-mip step (SURVEY.md C10/C11; traversal math shared
+with the oracle via hmrt_tpu.traversal.march, so hit decisions are
+bit-identical to the fidelity spec). This module is that step, factored
+once so the gather layout below changes in one place.
+
+Gather cost model (what shapes this code — see BENCH_NOTES.md): Mosaic's
+only dynamic vector access is a lane shuffle inside a (1, 128) row, so
+every gather is a chunk loop whose cost is rows x channels. The layout in
+kernels/packing.py therefore:
+
+  * stores NO level-0 cascade block — a level-0 cell's pyramid max is
+    exactly max of its 4 corner heights (core/pyramid.py cell_maxes), so
+    level-0 lanes derive the skip test from the corner gather they need
+    for the exact intersection anyway;
+  * packs the level >= 1 cascade into 3 rows (the old layout scanned 11);
+  * corner gathers (8 rows x 4 channels — the single priciest gather) and
+    the exact intersector run under a scalar `lax.cond` per iteration and
+    per served column, so iterations with no level-0 lane skip them
+    entirely (measured: most iterations in coarse terrain).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from hmrt_tpu.traversal.intersect import BIG_T
+from hmrt_tpu.traversal.march import (T_TOL, EPS_EXIT, ascent_levels,
+                                      descend_cell, step_geometry)
+
+# default for the scalar-cond guards around corner gathers + intersection.
+# MEASURED (B3, 4096^2 HD): in the FUSED kernel at n_col=8 the guards LOSE
+# 2.1x — nearly every iteration has a level-0 lane in some column, so the
+# per-column jnp.any reductions and branch overhead outweigh the skipped
+# work. They are a parameter (not a global) because the compacted path's
+# sorted blocks have different phase statistics; env override for sweeps.
+_COND_DEFAULT = os.environ.get("HMRT_COND", "0") == "1"
+
+
+def _scalar_cond(use_conds, pred, then_fn, else_fn):
+    if not use_conds:
+        return then_fn()
+    return jax.lax.cond(pred, then_fn, else_fn)
+
+
+def _vreg_gather(buf, idx, rows):
+    """Gather buf[idx >> 7, idx & 127] from a (rows, 128) VMEM value with
+    per-lane indices, via a row-broadcast + lane-shuffle chunk loop
+    (Mosaic's dynamic gather is lane-local, so rows are selected by mask)."""
+    col = idx & 127
+    row = idx >> 7
+    acc = jnp.zeros(idx.shape, buf.dtype)
+    for k in range(rows):
+        rowk = jnp.broadcast_to(buf[k:k + 1, :], idx.shape)
+        g = jnp.take_along_axis(rowk, col, axis=1)
+        acc = jnp.where(row == k, g, acc)
+    return acc
+
+
+def _multi_gather(bufs, f):
+    """Gather the same in-brick index from several (8,128) channel values
+    sharing one chunk loop."""
+    col = f & 127
+    row = f >> 7
+    accs = [jnp.zeros(f.shape, b.dtype) for b in bufs]
+    for k in range(8):
+        sel = row == k
+        for i, b in enumerate(bufs):
+            rowk = jnp.broadcast_to(b[k:k + 1, :], f.shape)
+            g = jnp.take_along_axis(rowk, col, axis=1)
+            accs[i] = jnp.where(sel, g, accs[i])
+    return accs
+
+
+def column_of(st, m5):
+    """32-cell terrain column id of each lane's current cell (any level);
+    dead lanes key as BIG_KEY so scalar min-selection skips them."""
+    colx = jnp.clip((st["icx"] << st["lvl"]) >> 5, 0, m5 - 1)
+    coly = jnp.clip((st["icy"] << st["lvl"]) >> 5, 0, m5 - 1)
+    return jnp.where(st["alive"] != 0, coly * m5 + colx, BIG_KEY)
+
+
+BIG_KEY = 2 ** 30  # plain int: jnp constants would be captured as kernel consts
+
+
+def cascade_index(lvl, icx, icy, l32, offs):
+    """In-record flat index of (lvl, icx, icy) in the level >= 1 cascade.
+
+    Meaningless for lvl == 0 lanes (they have no cascade block); callers
+    mask those through the corner path.
+    """
+    s_loc = jnp.maximum(32 >> lvl, 1)
+    mask_l = s_loc - 1
+    off = jnp.zeros(lvl.shape, jnp.int32)
+    for l in range(1, l32):
+        off = jnp.where(lvl == l, offs[l], off)
+    return off + (icy & mask_l) * s_loc + (icx & mask_l)
+
+
+def fine_gathers(col_scr, sels, cols_now, act, at0, lvl, fidx, f0, l32,
+                 corner_row, casc_rows=3, use_conds=_COND_DEFAULT):
+    """Gathers for the column demand loop serving columns `sels`.
+
+    Returns (cmax, corners_fn):
+      cmax       — the level >= 1 cascade value per lane (BIG_T for lanes
+                   at lvl >= l32, forcing a safe descend — see note below);
+      corners_fn — zero-arg callable producing (z00, z10, z01, z11) for
+                   level-0 lanes, with a scalar-cond per served column so
+                   columns without testing lanes skip the 8x4 chunk loop.
+
+    Safety: a lane that enters the demand loop still at lvl >= l32 (phase A
+    cap exhausted) has no cascade entry; returning BIG_T makes its skip
+    test fail so it descends one level per iteration until it is back in
+    range — graceful instead of a silently wrong (non-conservative) cmax.
+    """
+    shp = act.shape
+    cmax = jnp.zeros(shp, jnp.float32)
+    for c, sc in enumerate(sels):
+        mine = cols_now == sc
+        cm = _vreg_gather(col_scr[c, 0:casc_rows, :], fidx, casc_rows)
+        cmax = jnp.where(mine, cm, cmax)
+    cmax = jnp.where(lvl >= l32, BIG_T, cmax)
+
+    def corners_fn():
+        z = [jnp.zeros(shp, jnp.float32) for _ in range(4)]
+        for c, sc in enumerate(sels):
+            mine = cols_now == sc
+
+            def gather(c=c, mine=mine, z=z):
+                g = _multi_gather(
+                    (col_scr[c, corner_row + 0:corner_row + 8, :],
+                     col_scr[c, corner_row + 8:corner_row + 16, :],
+                     col_scr[c, corner_row + 16:corner_row + 24, :],
+                     col_scr[c, corner_row + 24:corner_row + 32, :]), f0)
+                return tuple(jnp.where(mine, g[i], z[i]) for i in range(4))
+
+            def keep(z=z):
+                return tuple(z)
+
+            z = list(_scalar_cond(use_conds, jnp.any(act & at0 & mine),
+                                  gather, keep))
+        return tuple(z)
+
+    return cmax, corners_fn
+
+
+def wavefront_step(st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1, gmax,
+                   cmax, corners_fn=None, *, m, asc_cap, lvl_ceiling,
+                   intersector=None, ascend_on_test_miss=False,
+                   use_conds=_COND_DEFAULT):
+    """One lockstep masked step of the max-mip wavefront for lanes in `act`.
+
+    Coarse phase (corners_fn=None): lanes are at lvl >= 1, skip/descend only.
+    Fine phase: level-0 lanes derive their cell max from the corners and run
+    the exact intersector, both under one scalar cond (skipped when no
+    active lane is at level 0 this iteration).
+
+    `st` carries i32 masks (Mosaic cannot yield i1 vectors through
+    scf.while). Returns a new st dict; the caller owns loop control.
+    """
+    t, lvl, icx, icy = st["t"], st["lvl"], st["icx"], st["icy"]
+    t_exit, nx, ny, bnd = step_geometry(ox, oy, dx, dy, icx, icy, lvl,
+                                        inv_x, inv_y)
+    t_exit_c = jnp.minimum(t_exit, t1)
+    zmin = oz + jnp.minimum(t * dz, t_exit_c * dz)
+
+    if corners_fn is None:
+        skip = zmin > cmax
+        descend = act & ~skip
+        advance = act & skip
+        asc_src = advance
+        hit_now = None
+    else:
+        at0 = lvl == 0
+
+        def with_test():
+            z00, z10, z01, z11 = corners_fn()
+            # level-0 cell max from corners: same expression as
+            # core/pyramid.cell_maxes => bit-identical skip test
+            cmax0 = jnp.maximum(jnp.maximum(z00, z10),
+                                jnp.maximum(z01, z11))
+            h, t_c = intersector(ox, oy, oz, dx, dy, dz, icx, icy,
+                                 z00, z10, z01, z11,
+                                 t - T_TOL, t_exit_c + T_TOL)
+            return (jnp.where(at0, cmax0, cmax), h.astype(jnp.int32), t_c)
+
+        def without_test():
+            return (cmax, jnp.zeros(act.shape, jnp.int32),
+                    jnp.full(act.shape, BIG_T, jnp.float32))
+
+        cmaxf, hraw, t_c = _scalar_cond(use_conds, jnp.any(act & at0),
+                                        with_test, without_test)
+        skip = zmin > cmaxf
+        descend = act & ~skip & ~at0
+        test = act & ~skip & at0
+        hit_now = (hraw != 0) & test
+        advance = act & ~descend & ~hit_now
+        asc_src = advance if ascend_on_test_miss else (act & skip)
+
+    dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy, lvl)
+    asc = jnp.where(asc_src, jnp.minimum(ascent_levels(bnd), asc_cap), 0)
+    asc = jnp.minimum(asc, lvl_ceiling - lvl)
+    new_lvl = jnp.where(descend, lvl - 1, lvl + asc)
+    adv_x = nx >> asc
+    adv_y = ny >> asc
+    new_icx = jnp.where(descend, dcx, jnp.where(advance, adv_x, icx))
+    new_icy = jnp.where(descend, dcy, jnp.where(advance, adv_y, icy))
+    new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
+    new_side = m >> new_lvl
+    # exact escape test: above global max and climbing => miss
+    escaped = advance & (oz + new_t * dz > gmax) & (dz > 0.0)
+    out = (advance & ((t_exit >= t1 - EPS_EXIT)
+                      | (new_icx < 0) | (new_icx >= new_side)
+                      | (new_icy < 0) | (new_icy >= new_side))
+           | escaped)
+
+    st = dict(st)
+    st["t"] = jnp.where(act, new_t, t)
+    st["lvl"] = jnp.where(act, new_lvl, lvl)
+    st["icx"] = jnp.where(act, new_icx, icx)
+    st["icy"] = jnp.where(act, new_icy, icy)
+    if hit_now is None:
+        st["alive"] = st["alive"] * (1 - out.astype(jnp.int32))
+    else:
+        st["alive"] = (st["alive"]
+                       * (1 - hit_now.astype(jnp.int32))
+                       * (1 - out.astype(jnp.int32)))
+        st["hit"] = jnp.maximum(st["hit"], hit_now.astype(jnp.int32))
+        st["t_hit"] = jnp.where(hit_now, t_c, st["t_hit"])
+        st["hx"] = jnp.where(hit_now, icx, st["hx"])
+        st["hy"] = jnp.where(hit_now, icy, st["hy"])
+    return st

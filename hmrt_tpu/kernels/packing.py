@@ -8,14 +8,18 @@ scalar-indexed DMA. The TPU-native equivalent of "texture fetch" is
 therefore a software-managed brick scheme (this module + kernels/raycast):
 
   * the terrain is split into 32x32-cell COLUMNS; each column's record
-    packs its ENTIRE pyramid cascade — the 32x32 level-0 cell maxes, the
-    16x16 level-1 block, 8x8, ..., plus one ancestor value per coarser
-    bricked level — AND the 4 per-cell corner heights, into one
-    (48, 128) f32 record (24 KB). A marching tile DMAs the single record
-    its rays currently demand (scalar column id = min over lanes) and a
-    lane then descends/ascends/marches through every level and runs exact
-    intersections with in-register lane-shuffle gathers, no further HBM
-    traffic until it leaves the column sideways;
+    packs its pyramid cascade for levels >= 1 — the 16x16 level-1 block,
+    8x8, ..., plus one ancestor value per coarser bricked level — AND the
+    4 per-cell corner heights, into one (36, 128) f32 record (18 KB).
+    Level 0 stores NO cascade block: a level-0 cell's pyramid max is
+    exactly max(z00, z10, z01, z11) of its corners (core/pyramid.py
+    cell_maxes), so the kernel derives it from the corner gather it needs
+    for the exact test anyway — the cascade gather shrinks from 11 rows
+    to 3 and the skip test stays bit-identical. A marching tile DMAs the
+    single record its rays currently demand (scalar column id = min over
+    lanes) and a lane then descends/ascends/marches through every level
+    and runs exact intersections with in-register lane-shuffle gathers,
+    no further HBM traffic until it leaves the column sideways;
   * levels with side <= 32 (<= 1365 cells in total) are packed into one
     (16, 128) "coarse" buffer that rides in VMEM for the whole kernel —
     rays cruise the empty sky over the terrain without touching HBM at all;
@@ -25,15 +29,14 @@ therefore a software-managed brick scheme (this module + kernels/raycast):
     separate demand loop that runs once per hit.
 
 Column record row layout (rows of 128 lanes):
-    rows 0-7   level-0 cell maxes (1024)
-    rows 8-9   level-1 block (256)
-    row 10     level-2 (64) | level-3 (16) | level-4 (4) | level-5 (1)
+    rows 0-1   level-1 block (256)
+    row 2      level-2 (64) | level-3 (16) | level-4 (4) | level-5 (1)
                | ancestor values for bricked levels >= 6 (1 each)
-    row 11     padding
-    rows 12-43 corner heights z00,z10,z01,z11 (4 channels x 8 rows)
-    rows 44-47 padding
-In-column index at level l: off(l) + ly*(32>>l) + lx with lx/ly = cell
-coords masked to the column (closed-form lane arithmetic in the kernel).
+    row 3      padding
+    rows 4-35  corner heights z00,z10,z01,z11 (4 channels x 8 rows)
+In-column index at level l >= 1: off(l) + ly*(32>>l) + lx with lx/ly =
+cell coords masked to the column (closed-form lane arithmetic in the
+kernel); level 0 reads the corner channels at ly*32 + lx directly.
 """
 
 from __future__ import annotations
@@ -49,15 +52,19 @@ from hmrt_tpu.types import Scene, _pytree_dataclass
 
 BRICK = 32                 # cells per column side
 COARSE_SIDE = 32           # levels at or below this side stay in VMEM
+COL_CASC_ROWS = 3          # rows holding the level >= 1 cascade (<= 384 vals)
 COARSE_ROWS = 16           # coarse buffer shape (COARSE_ROWS, 128)
-COL_ROWS = 48              # rows per packed column record
-CORNER_ROW = 12            # first row of the corner channels
+COL_ROWS = 36              # rows per packed column record
+CORNER_ROW = 4             # first row of the corner channels
 
 
 def cascade_offsets(l32: int) -> list:
-    """In-record flat offset of each bricked level's block (python ints)."""
-    offs, pos = [], 0
-    for l in range(l32):
+    """In-record flat offset of each bricked level's block (python ints),
+    for levels 1..l32-1. Entry [l] is level l's offset; entry [0] is a
+    placeholder — level 0 has no cascade block (its max is derived from
+    the corner channels in-kernel)."""
+    offs, pos = [0], 0
+    for l in range(1, l32):
         offs.append(pos)
         side = max(BRICK >> l, 1)
         pos += side * side
@@ -83,7 +90,7 @@ class PackedScene:
     """
 
     coarse: jax.Array    # (16, 128) f32 — levels with side <= 32, flat-packed
-    columns: jax.Array   # (m5^2, 48, 128) f32 — per-column cascade + corners
+    columns: jax.Array   # (m5^2, 36, 128) f32 — per-column cascade + corners
     shade: jax.Array     # (NB0, 8, 8, 128) f32 — corner gradients gx,gy x 4
     albedo: jax.Array | None  # (NB0, 12, 8, 128) f32 — RGB at 4 cell corners
     m5: int
@@ -126,9 +133,11 @@ def _pack_arrays(heights: jax.Array, albedo, *, n: int, m: int):
     coarse = jnp.pad(coarse_flat, (0, pad),
                      constant_values=NEG_INF).reshape(COARSE_ROWS, 128)
 
-    # --- packed column records: full per-column level cascade ---
+    # --- packed column records: per-column level cascade for levels >= 1
+    # (level 0 has no block — its cell maxes are max(corner channels),
+    # bit-identical to cell_maxes, so the kernel derives them in-register)
     blocks = []
-    for l in range(l32):
+    for l in range(1, l32):
         side = max(BRICK >> l, 1)
         lv = levels[l]
         if l <= 5:
@@ -141,7 +150,10 @@ def _pack_arrays(heights: jax.Array, albedo, *, n: int, m: int):
             a = jnp.repeat(jnp.repeat(lv, r, axis=0), r, axis=1)
             a = a.reshape(m5 * m5, 1)
         blocks.append(a)
-    casc = jnp.concatenate(blocks, axis=1)          # (m5^2, ~1366)
+    if blocks:
+        casc = jnp.concatenate(blocks, axis=1)      # (m5^2, <= 384)
+    else:
+        casc = jnp.zeros((m5 * m5, 0), jnp.float32)  # l32 == 1: no cascade
 
     # --- fine-cell corners, padded cell grid (m x m) ---
     z00 = heights[:-1, :-1]
@@ -158,7 +170,8 @@ def _pack_arrays(heights: jax.Array, albedo, *, n: int, m: int):
         [_to_bricks(pad_cells(z)).reshape(m5 * m5, 1024)
          for z in (z00, z10, z01, z11)], axis=1)    # (m5^2, 4096)
 
-    # assemble (m5^2, 48, 128) column records
+    # assemble (m5^2, 36, 128) column records
+    assert casc.shape[1] <= COL_CASC_ROWS * 128, casc.shape
     pad_c = CORNER_ROW * 128 - casc.shape[1]
     casc = jnp.pad(casc, ((0, 0), (0, pad_c)), constant_values=NEG_INF)
     rec = jnp.concatenate([casc, corner_flat], axis=1)

@@ -55,18 +55,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hmrt_tpu.config import RenderConfig
 from hmrt_tpu.core.renderer import SHADOW_EPS
+from hmrt_tpu.kernels.march_body import (BIG_KEY, _multi_gather, _vreg_gather,
+                                         cascade_index, column_of,
+                                         fine_gathers, wavefront_step)
 from hmrt_tpu.kernels.packing import (COL_ROWS, CORNER_ROW, PackedScene,
                                       cascade_offsets)
 from hmrt_tpu.shading import shade as sh
 from hmrt_tpu.traversal.intersect import BIG_T, INTERSECTORS
-from hmrt_tpu.traversal.march import (T_TOL, EPS_EXIT, ascent_levels,
-                                      descend_cell, entry_cell,
-                                      ray_box_range, ray_inverses,
-                                      step_geometry)
+from hmrt_tpu.traversal.march import (entry_cell, ray_box_range,
+                                      ray_inverses)
 from hmrt_tpu.types import Camera, Frame, Scene
 
 TILE_W = 128      # lane width is fixed by the VPU register shape
-BIG_KEY = 2 ** 30  # plain int: jnp constants would be captured as kernel consts
 
 # params vector layout (f32[1, 32])
 _P_EYE = 0        # 0-2
@@ -83,53 +83,6 @@ _P_FOGCOL = 26    # 26-28
 _P_GMAX = 29
 _P_ROW0 = 30   # first screen row of this shard (multi-chip band rendering)
 N_PARAMS = 32
-
-
-def _vreg_gather(buf, idx, rows):
-    """Gather buf[idx >> 7, idx & 127] from a (rows, 128) VMEM value with
-    per-lane (8,128) indices, via a row-broadcast + lane-shuffle chunk loop
-    (Mosaic's dynamic gather is lane-local, so rows are selected by mask)."""
-    col = idx & 127
-    row = idx >> 7
-    acc = jnp.zeros(idx.shape, buf.dtype)
-    for k in range(rows):
-        rowk = jnp.broadcast_to(buf[k:k + 1, :], idx.shape)
-        g = jnp.take_along_axis(rowk, col, axis=1)
-        acc = jnp.where(row == k, g, acc)
-    return acc
-
-
-def _multi_gather(bufs, f):
-    """Gather the same in-brick index from several (8,128) channel values
-    sharing one chunk loop."""
-    col = f & 127
-    row = f >> 7
-    accs = [jnp.zeros(f.shape, b.dtype) for b in bufs]
-    for k in range(8):
-        sel = row == k
-        for i, b in enumerate(bufs):
-            rowk = jnp.broadcast_to(b[k:k + 1, :], f.shape)
-            g = jnp.take_along_axis(rowk, col, axis=1)
-            accs[i] = jnp.where(sel, g, accs[i])
-    return accs
-
-
-def _cascade_gather(casc_ref, lvl, f, l32):
-    """Gather per-lane cell maxes from the DMA'd level cascade: lane at
-    level l reads casc[l] at in-brick index f (in-brick coords are the same
-    (cell & 31) at every level)."""
-    col = f & 127
-    row = f >> 7
-    acc = jnp.zeros(f.shape, jnp.float32)
-    for l in range(l32):
-        b = casc_ref[l]
-        g = jnp.zeros(f.shape, jnp.float32)
-        for k in range(8):
-            rowk = jnp.broadcast_to(b[k:k + 1, :], f.shape)
-            gk = jnp.take_along_axis(rowk, col, axis=1)
-            g = jnp.where(row == k, gk, g)
-        acc = jnp.where(lvl == l, g, acc)
-    return acc
 
 
 def _render_kernel(params_ref, coarse_ref, columns_hbm,
@@ -235,40 +188,14 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
         def a_body(c):
             i, st = c
             act = (st["alive"] != 0) & (st["lvl"] >= l32)
-            t, lvl, icx, icy = st["t"], st["lvl"], st["icx"], st["icy"]
-            t_exit, nx, ny, bnd = step_geometry(ox, oy, dx, dy, icx, icy,
-                                                lvl, inv_x, inv_y)
-            t_exit_c = jnp.minimum(t_exit, t1)
-            zmin = oz + jnp.minimum(t * dz, t_exit_c * dz)
+            lvl, icx, icy = st["lvl"], st["icx"], st["icy"]
             side = m >> lvl
             cidx = coarse_index(lvl, jnp.clip(icy, 0, side - 1),
                                 jnp.clip(icx, 0, side - 1))
             cmax = _vreg_gather(cbuf, cidx, 11)
-            skip = zmin > cmax
-            descend = act & ~skip                       # lvl >= l32 >= 1 here
-            advance = act & skip
-            dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy, lvl)
-            asc = jnp.where(advance, ascent_levels(bnd), 0)
-            asc = jnp.minimum(asc, top - lvl)
-            new_lvl = jnp.where(descend, lvl - 1, lvl + asc)
-            adv_x = nx >> asc
-            adv_y = ny >> asc
-            new_icx = jnp.where(descend, dcx, jnp.where(advance, adv_x, icx))
-            new_icy = jnp.where(descend, dcy, jnp.where(advance, adv_y, icy))
-            new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
-            new_side = m >> new_lvl
-            # exact escape test: above global max and climbing => miss
-            escaped = advance & (oz + new_t * dz > gmax) & (dz > 0.0)
-            out = (advance & ((t_exit >= t1 - EPS_EXIT)
-                              | (new_icx < 0) | (new_icx >= new_side)
-                              | (new_icy < 0) | (new_icy >= new_side))
-                   | escaped)
-            st = dict(st)
-            st["t"] = jnp.where(act, new_t, t)
-            st["lvl"] = jnp.where(act, new_lvl, lvl)
-            st["icx"] = jnp.where(act, new_icx, icx)
-            st["icy"] = jnp.where(act, new_icy, icy)
-            st["alive"] = st["alive"] * (1 - out.astype(jnp.int32))
+            st = wavefront_step(st, act, ox, oy, oz, dx, dy, dz,
+                                inv_x, inv_y, t1, gmax, cmax,
+                                m=m, asc_cap=3, lvl_ceiling=top)
             return i + 1, st
 
         na, st = jax.lax.while_loop(a_cond, a_body, (jnp.int32(0), st))
@@ -280,9 +207,7 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
         # a lane descends/ascends/marches across all fine levels without
         # further HBM traffic until it leaves the column sideways.
         def col_of(st):
-            colx = jnp.clip((st["icx"] << st["lvl"]) >> 5, 0, m5 - 1)
-            coly = jnp.clip((st["icy"] << st["lvl"]) >> 5, 0, m5 - 1)
-            return jnp.where(st["alive"] != 0, coly * m5 + colx, BIG_KEY)
+            return column_of(st, m5)
 
         def b_cond(c):
             i, st = c
@@ -324,76 +249,19 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
                 k, st = cc
                 act = (st["alive"] != 0) & in_set(st)
                 st = dict(st, nin=st["nin"] + 1)
-                t, lvl, icx, icy = st["t"], st["lvl"], st["icx"], st["icy"]
-                t_exit, nx, ny, bnd = step_geometry(ox, oy, dx, dy,
-                                                    icx, icy, lvl,
-                                                    inv_x, inv_y)
-                t_exit_c = jnp.minimum(t_exit, t1)
-                zmin = oz + jnp.minimum(t * dz, t_exit_c * dz)
-                # in-record cascade index for this lane's level
-                s_loc = jnp.maximum(32 >> lvl, 1)
-                mask_l = s_loc - 1
-                off = jnp.zeros(shp, jnp.int32)
-                for l in range(l32):
-                    off = jnp.where(lvl == l, offs[l], off)
-                fidx = off + (icy & mask_l) * s_loc + (icx & mask_l)
+                lvl, icx, icy = st["lvl"], st["icx"], st["icy"]
+                at0 = lvl == 0
+                fidx = cascade_index(lvl, icx, icy, l32, offs)
                 f0 = (icy & 31) * 32 + (icx & 31)
                 cols_now = col_of(st)
-                cmax = jnp.zeros(shp, jnp.float32)
-                z00 = z10 = z01 = z11 = jnp.zeros(shp, jnp.float32)
-                for c, sc in enumerate(sels):
-                    mine = cols_now == sc
-                    cm = _vreg_gather(col_scr[c, 0:CORNER_ROW, :], fidx, 11)
-                    g = _multi_gather(
-                        (col_scr[c, CORNER_ROW + 0:CORNER_ROW + 8, :],
-                         col_scr[c, CORNER_ROW + 8:CORNER_ROW + 16, :],
-                         col_scr[c, CORNER_ROW + 16:CORNER_ROW + 24, :],
-                         col_scr[c, CORNER_ROW + 24:CORNER_ROW + 32, :]), f0)
-                    cmax = jnp.where(mine, cm, cmax)
-                    z00 = jnp.where(mine, g[0], z00)
-                    z10 = jnp.where(mine, g[1], z10)
-                    z01 = jnp.where(mine, g[2], z01)
-                    z11 = jnp.where(mine, g[3], z11)
-                skip = zmin > cmax
-                at0 = lvl == 0
-                descend = act & ~skip & ~at0
-                test = act & ~skip & at0
-                hit_now, t_c = intersector(ox, oy, oz, dx, dy, dz, icx, icy,
-                                           z00, z10, z01, z11,
-                                           t - T_TOL, t_exit_c + T_TOL)
-                hit_now = hit_now & test
-                advance = act & ~descend & ~hit_now
-                asc_ok = advance if _ASCEND_ON_TEST_MISS else (act & skip)
-                dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy, lvl)
-                asc = jnp.where(asc_ok, jnp.minimum(ascent_levels(bnd),
-                                                    _ASC_CAP), 0)
-                asc = jnp.minimum(asc, (l32 - 1) - lvl)
-                new_lvl = jnp.where(descend, lvl - 1, lvl + asc)
-                adv_x = nx >> asc
-                adv_y = ny >> asc
-                new_icx = jnp.where(descend, dcx,
-                                    jnp.where(advance, adv_x, icx))
-                new_icy = jnp.where(descend, dcy,
-                                    jnp.where(advance, adv_y, icy))
-                new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
-                new_side = m >> new_lvl
-                escaped = advance & (oz + new_t * dz > gmax) & (dz > 0.0)
-                out = (advance & ((t_exit >= t1 - EPS_EXIT)
-                                  | (new_icx < 0) | (new_icx >= new_side)
-                                  | (new_icy < 0) | (new_icy >= new_side))
-                       | escaped)
-                st = dict(st)
-                st["t"] = jnp.where(act, new_t, t)
-                st["lvl"] = jnp.where(act, new_lvl, lvl)
-                st["icx"] = jnp.where(act, new_icx, icx)
-                st["icy"] = jnp.where(act, new_icy, icy)
-                st["alive"] = (st["alive"]
-                               * (1 - hit_now.astype(jnp.int32))
-                               * (1 - out.astype(jnp.int32)))
-                st["hit"] = jnp.maximum(st["hit"], hit_now.astype(jnp.int32))
-                st["t_hit"] = jnp.where(hit_now, t_c, st["t_hit"])
-                st["hx"] = jnp.where(hit_now, icx, st["hx"])
-                st["hy"] = jnp.where(hit_now, icy, st["hy"])
+                cmax, corners_fn = fine_gathers(col_scr, sels, cols_now,
+                                                act, at0, lvl, fidx, f0,
+                                                l32, CORNER_ROW)
+                st = wavefront_step(
+                    st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
+                    gmax, cmax, corners_fn, m=m, asc_cap=_ASC_CAP,
+                    lvl_ceiling=l32 - 1, intersector=intersector,
+                    ascend_on_test_miss=_ASCEND_ON_TEST_MISS)
                 return k + 1, st
 
             nk, st = jax.lax.while_loop(i_cond, i_body, (jnp.int32(0), st))

@@ -133,7 +133,15 @@ def descend_cell(ox, oy, dx, dy, t, icx, icy, lvl):
 
 
 def corner_heights(heights_flat, n, cx, cy):
-    """Gather the 4 corner heights of fine cell (cx, cy) from flat heights."""
+    """Gather the 4 corner heights of fine cell (cx, cy) from flat heights.
+
+    cx/cy are clamped to the valid cell range [0, n-2] BEFORE forming flat
+    indices: the march gathers unconditionally for masked-out lanes sitting
+    in padded cells (cell grid is padded to a power of two > n-1), and the
+    clamp keeps even those raw indices in bounds (checkify-clean) — their
+    values are never used (padded cells' pyramid max is NEG_INF)."""
+    cx = jnp.clip(cx, 0, n - 2)
+    cy = jnp.clip(cy, 0, n - 2)
     base = cy * n + cx
     z00 = jnp.take(heights_flat, base, mode="clip")
     z10 = jnp.take(heights_flat, base + 1, mode="clip")

@@ -48,10 +48,19 @@ class Camera:
         )
 
     def basis(self):
-        """Orthonormal (right, up, forward) camera basis."""
+        """Orthonormal (right, up, forward) camera basis.
+
+        Degenerate look directions (forward parallel to the up hint —
+        e.g. a camera looking straight up) fall back to the y axis as the
+        hint, so the basis is always finite (caught by the checkify
+        sanitizer tests with a zenith camera: cross(f, up) was the zero
+        vector and its normalization produced NaN rays)."""
         f = self.target - self.eye
         f = f / jnp.linalg.norm(f)
         r = jnp.cross(f, self.up)
+        n2 = jnp.sum(r * r)
+        alt = jnp.cross(f, jnp.asarray([0.0, 1.0, 0.0], jnp.float32))
+        r = jnp.where(n2 > 1e-12, r, alt)
         r = r / jnp.linalg.norm(r)
         u = jnp.cross(r, f)
         return r, u, f

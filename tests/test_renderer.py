@@ -73,6 +73,50 @@ def test_golden_image_b1():
     assert (diff <= 1).all(), f"golden mismatch: max diff {diff.max()}, {(diff > 1).sum()} px"
 
 
+def _golden_check(img_u8, fname):
+    path = os.path.join(GOLDEN_DIR, fname)
+    if not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.save(path, img_u8)
+        pytest.skip("golden image written; rerun to compare")
+    golden = np.load(path)
+    # allow 1-bit quantization wiggle across backends/compilers
+    diff = np.abs(img_u8.astype(int) - golden.astype(int))
+    assert (diff <= 1).all(), \
+        f"golden mismatch: max diff {diff.max()}, {(diff > 1).sum()} px"
+
+
+def test_golden_image_b2_style():
+    """64x64 golden of the B2 feature set: max-mip + depth/normal aux
+    buffers (BASELINE.json:8); depth golden checked alongside color."""
+    h = procedural_terrain(64, seed=3)
+    sc = make_scene(h)
+    cam = Camera.create(eye=(32.0, -20.0, float(h.max()) + 12.0),
+                        target=(32.0, 32.0, float(h.mean())))
+    cfg = RenderConfig(width=64, height=64, traversal="maxmip",
+                       shading="lambert", aux_buffers=True)
+    fr = render_frame(sc, cam, cfg)
+    img = (np.clip(np.asarray(fr.color), 0, 1) * 255 + 0.5).astype(np.uint8)
+    depth = np.asarray(fr.depth)
+    dn = (np.clip(np.where(np.isfinite(depth), depth, 0.0) / 128.0, 0, 1)
+          * 255 + 0.5).astype(np.uint8)
+    _golden_check(np.concatenate([img, dn[:, :, None]], axis=-1), "b2_64.npy")
+
+
+def test_golden_image_b3_style():
+    """64x64 golden of the B3 feature set: shadows + Phong + sky early-out
+    (BASELINE.json:9)."""
+    h = procedural_terrain(64, seed=3)
+    sc = make_scene(h)
+    cam = Camera.create(eye=(32.0, -20.0, float(h.max()) + 12.0),
+                        target=(32.0, 32.0, float(h.mean())))
+    cfg = RenderConfig(width=64, height=64, traversal="maxmip",
+                       shading="phong", shadows=True)
+    fr = render_frame(sc, cam, cfg)
+    img = (np.clip(np.asarray(fr.color), 0, 1) * 255 + 0.5).astype(np.uint8)
+    _golden_check(img, "b3_64.npy")
+
+
 def test_camera_rays_unit_and_fov():
     cam = Camera.create(eye=(0, 0, 5), target=(0, 10, 5), fov_y_deg=90.0)
     eye, dirs = cam.rays(8, 8)

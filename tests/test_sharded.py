@@ -43,6 +43,31 @@ def test_sharded_full_features(scene64, camera64):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_pallas_band_path(scene64, camera64):
+    """The fused-kernel band path (row0-shifted raygen + gather) is pixel-
+    checked against the single-device kernel on the virtual CPU mesh —
+    with a band height (height/ndev) that is NOT a tile multiple, the
+    full-scale B5 shape (2160 rows / 8 chips = 270)."""
+    ndev = len(jax.devices())
+    mesh = make_mesh()
+    sc = replicate_scene(scene64, mesh)
+    H = 3 * ndev  # band of 3 rows: exercises the kernel's pad+crop
+    cfg = RenderConfig(width=48, height=H, shading="phong", shadows=True,
+                       aux_buffers=True)
+    fr_s = render_frame_sharded(sc, camera64, cfg, mesh, use_pallas=True)
+    from hmrt_tpu.kernels.raycast import render_frame_pallas
+    fr_1 = render_frame_pallas(scene64, scene64.packed, camera64, cfg,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(fr_s.hit), np.asarray(fr_1.hit))
+    # hits are exact; color tolerates float-ulp wiggle (rsqrt in the
+    # shading fuses differently across the two program shapes)
+    np.testing.assert_allclose(np.asarray(fr_s.color),
+                               np.asarray(fr_1.color), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fr_s.depth),
+                               np.asarray(fr_1.depth), rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_uneven_height_raises(scene64, camera64):
     mesh = make_mesh()
     with pytest.raises(ValueError):
