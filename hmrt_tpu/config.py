@@ -40,6 +40,10 @@ class RenderConfig:
     #: Hard cap on march iterations (static bound for lax.while_loop; the
     #: live-mask empties long before this in practice).
     max_steps: int = 0  # 0 = auto: 4*N for dda, 8*log2(N)+64 for maxmip
+    #: World cell window [lo, hi] to march, or None for the full terrain.
+    #: Used by the out-of-core tiled path (api/tiled.py) to restrict each
+    #: sub-scene to its interior cells while gradient margins stay loaded.
+    clip_box: tuple | None = None
 
     # --- shading ---
     shading: Literal["lambert", "phong"] = "lambert"

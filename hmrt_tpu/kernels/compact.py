@@ -62,7 +62,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                        n: int, m: int, levels: int, m5: int, l32: int,
                        cell_intersect: str,
                        coarse_cap: int, budget: int, inner_cap: int,
-                       n_col: int, debug: bool = False):
+                       n_col: int, debug: bool = False, clip=None):
     (alive_o, t_o, lvl_o, icx_o, icy_o,
      hit_o, thit_o, hx_o, hy_o) = refs[:9]
     dbg_refs = refs[9:-2] if debug else ()
@@ -74,7 +74,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
     ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
     dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
     inv_x, inv_y = ray_inverses(dx, dy)
-    _, t1, _ = ray_box_range(ox, oy, dx, dy, world_max)
+    _, t1, _ = ray_box_range(ox, oy, dx, dy, world_max, clip)
 
     cbuf = coarse_ref[:]
     # global max = the pyramid top, which is the last valid coarse entry
@@ -210,10 +210,10 @@ def _plane_specs(k):
 @functools.partial(jax.jit,
                    static_argnames=("n", "m", "levels", "m5", "l32",
                                     "cell_intersect", "budget", "n_col",
-                                    "interpret", "debug"))
+                                    "interpret", "debug", "clip"))
 def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
                l32, cell_intersect, budget, n_col=2, interpret=False,
-               debug=False):
+               debug=False, clip=None):
     """One budgeted march sweep over all ray blocks.
 
     rays:    (ox, oy, oz, dx, dy, dz) planes, each f32[P] with P % 1024 == 0
@@ -235,7 +235,7 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
         _march_pass_kernel, n=n, m=m, levels=levels, m5=m5, l32=l32,
         cell_intersect=cell_intersect,
         coarse_cap=24 * levels + 96, budget=budget, inner_cap=256,
-        n_col=n_col, debug=debug)
+        n_col=n_col, debug=debug, clip=clip)
 
     out_dt = ([jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
               + [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
@@ -357,10 +357,11 @@ def shade_pass(shade, albedo, hit, hx, hy, fx, fy, *, m5, textured,
 # XLA orchestration
 # ---------------------------------------------------------------------------
 
-def _init_state(ox, oy, oz, dx, dy, dz, valid0, gmax, *, n, levels):
+def _init_state(ox, oy, oz, dx, dy, dz, valid0, gmax, *, n, levels,
+                clip=None):
     """Initial march state — identical math to the kernels' entry logic."""
     world_max = float(n - 1)
-    t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max)
+    t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max, clip)
     valid = valid & valid0
     sky = ((oz + t0 * dz) > gmax) & (dz >= 0.0)
     valid = valid & ~sky
@@ -418,7 +419,7 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
 
     mkw = dict(n=n, m=m, levels=levels, m5=m5, l32=l32,
                cell_intersect=config.cell_intersect, n_col=n_col,
-               interpret=interpret)
+               interpret=interpret, clip=config.clip_box)
     state_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
     res_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
 
@@ -465,7 +466,8 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
         return res[0] != 0, res[1], res[2], res[3]
 
     hit, t_hit, hx, hy = full_march(rays, _init_state(
-        ox, oy, oz, dx, dy, dz, valid0, gmax, n=n, levels=levels))
+        ox, oy, oz, dx, dy, dz, valid0, gmax, n=n, levels=levels,
+        clip=config.clip_box))
 
     # ---------------- shading data (sorted by hit column) ----------------
     ts = jnp.where(hit, t_hit, 0.0)
@@ -539,14 +541,21 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
 
 def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          config: RenderConfig, interpret: bool = False,
-                         first_budget: int = 96, rounds: int = 3,
-                         round_budget: int = 256, n_col: int = 2) -> Frame:
+                         first_budget: int = 0, rounds: int = 2,
+                         round_budget: int = 512, n_col: int = 4) -> Frame:
     """Compacted-wavefront render (see module docstring).
 
     first_budget/rounds/round_budget/n_col: compaction schedule — the
     screen-order pass budget, number of python-unrolled resort rounds
     (the last is unbudgeted, guaranteeing completion), per-round budget,
-    and columns served per demand-loop iteration.
+    and columns served per demand-loop iteration. Defaults are the
+    measured B3 (4096^2, 1920x1080) optimum: first_budget=0 runs ONLY
+    the zero-DMA coarse phase in screen order (budgeted screen-order
+    demand loops are DMA-latency-bound on incoherent blocks — measured
+    968 ms for round 0 at budget 96 vs ~150 ms coarse-only), then two
+    globally-sorted rounds. Sweep history: (96,3,256,2) 3522 ms,
+    (96,2,384,4) 2882, (0,3,320,4) 2829, (0,2,512,4) 2652, (0,4,256,8)
+    3725 ms.
     """
     gmax = scene.pyr_flat[-1]
     return _render_compact_jit(

@@ -153,7 +153,8 @@ def _render_kernel(params_ref, coarse_ref, columns_hbm,
         correct; this keeps them column-coherent with the primary march
         and skips the full coarse descent).
         """
-        t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max)
+        t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max,
+                                      config.clip_box)
         inv_x, inv_y = ray_inverses(dx, dy)
         valid = valid & valid0
         # early-out sky test (SURVEY.md C13)

@@ -48,14 +48,18 @@ class MarchResult(NamedTuple):
     work: jax.Array    # i32[] sum of alive lanes over all iterations
 
 
-def ray_box_range(ox, oy, dx, dy, world_max):
-    """Clip rays to the terrain slab x,y in [0, world_max]; returns (t0, t1, valid)."""
+def ray_box_range(ox, oy, dx, dy, world_max, clip=None):
+    """Clip rays to the terrain slab x,y in [0, world_max]; returns
+    (t0, t1, valid). `clip=(lo, hi)` narrows the marched window to the
+    cell coordinates [lo, hi] instead — the out-of-core tiled path uses it
+    to march only a tile's interior cells (api/tiled.py)."""
+    lo, hi = (0.0, world_max) if clip is None else clip
     inv_x = 1.0 / jnp.where(jnp.abs(dx) < 1e-20, 1e-20, dx)
     inv_y = 1.0 / jnp.where(jnp.abs(dy) < 1e-20, 1e-20, dy)
-    tx0 = (0.0 - ox) * inv_x
-    tx1 = (world_max - ox) * inv_x
-    ty0 = (0.0 - oy) * inv_y
-    ty1 = (world_max - oy) * inv_y
+    tx0 = (lo - ox) * inv_x
+    tx1 = (hi - ox) * inv_x
+    ty0 = (lo - oy) * inv_y
+    ty1 = (hi - oy) * inv_y
     t_lo = jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1))
     t_hi = jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1))
     t0 = jnp.maximum(t_lo, 0.0)
@@ -151,12 +155,14 @@ def corner_heights(heights_flat, n, cx, cy):
 
 
 @partial(jax.jit, static_argnames=("n", "m", "levels", "max_steps",
-                                   "cell_intersect", "start_level", "any_hit"))
+                                   "cell_intersect", "start_level", "any_hit",
+                                   "clip"))
 def march_maxmip(ox, oy, oz, dx, dy, dz, pyr_flat, heights_flat, *,
                  n: int, m: int, levels: int, max_steps: int,
                  cell_intersect: str = "triangle",
                  start_level: int | None = None,
-                 any_hit: bool = False) -> MarchResult:
+                 any_hit: bool = False,
+                 clip: tuple | None = None) -> MarchResult:
     """Masked-wavefront maximum-mipmap march over a batch of rays.
 
     All ray components are f32[P]; pyr_flat/heights_flat live in HBM.
@@ -167,7 +173,7 @@ def march_maxmip(ox, oy, oz, dx, dy, dz, pyr_flat, heights_flat, *,
     world_max = float(n - 1)
     top = levels - 1 if start_level is None else min(start_level, levels - 1)
 
-    t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max)
+    t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max, clip)
     inv_x, inv_y = ray_inverses(dx, dy)
 
     # Early-out sky test (SURVEY.md C13, BASELINE.json:9): ray starts above
@@ -274,10 +280,12 @@ def march_maxmip(ox, oy, oz, dx, dy, dz, pyr_flat, heights_flat, *,
                        final["i"], final["work"])
 
 
-@partial(jax.jit, static_argnames=("n", "max_steps", "cell_intersect"))
+@partial(jax.jit, static_argnames=("n", "max_steps", "cell_intersect",
+                                   "clip"))
 def march_dda(ox, oy, oz, dx, dy, dz, heights_flat, *,
               n: int, max_steps: int,
-              cell_intersect: str = "triangle") -> MarchResult:
+              cell_intersect: str = "triangle",
+              clip: tuple | None = None) -> MarchResult:
     """Brute-force uniform-grid DDA at the finest level (SURVEY.md C10).
 
     Independent of the pyramid — tests every crossed cell with the exact
@@ -287,7 +295,7 @@ def march_dda(ox, oy, oz, dx, dy, dz, heights_flat, *,
     intersector = INTERSECTORS[cell_intersect]
     world_max = float(n - 1)
     n_cells = n - 1
-    t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max)
+    t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max, clip)
 
     P = ox.shape
     inv_x, inv_y = ray_inverses(dx, dy)

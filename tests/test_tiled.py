@@ -1,0 +1,73 @@
+"""Out-of-core tiled render == monolithic render (SURVEY.md C5).
+
+Every cell lives in exactly one tile (overlap duplicates are
+bit-identical), so nearest-depth compositing must reproduce the
+monolithic image. Camera translation into tile-local coordinates shifts
+ray origins by exact small integers, so intersection t's match to f32 ulp.
+"""
+
+import numpy as np
+import pytest
+
+from hmrt_tpu.api.tiled import _tile_axis, render_frame_tiled
+from hmrt_tpu.api.scene import make_scene
+from hmrt_tpu.config import RenderConfig
+from hmrt_tpu.core.renderer import render_frame
+from hmrt_tpu.io.heightmap import procedural_terrain
+from hmrt_tpu.types import Camera
+
+
+def _cam(h):
+    n = h.shape[0]
+    return Camera.create(eye=(n * 0.5, -n * 0.3, float(h.max()) + n * 0.15),
+                         target=(n * 0.5, n * 0.5, float(h.mean())))
+
+
+def test_tile_axis_covers_all_cells():
+    for side, tile in [(129, 64), (120, 64), (65, 64), (40, 64), (8193, 2048)]:
+        xs = _tile_axis(side, tile)
+        covered = set()
+        for x0 in xs:
+            assert x0 + min(tile, side - 1) <= side - 1 or x0 == 0
+            covered.update(range(x0, min(x0 + tile, side - 1)))
+        assert covered == set(range(side - 1)), (side, tile)
+
+
+@pytest.mark.parametrize("side,tile", [(129, 64), (120, 64)])
+def test_tiled_matches_monolithic(side, tile):
+    h = procedural_terrain(side, seed=7)
+    rng = np.random.default_rng(1)
+    albedo = rng.uniform(0.2, 0.9, (side, side, 3)).astype(np.float32)
+    cam = _cam(h)
+    cfg = RenderConfig(width=48, height=32, shading="phong", fog=True,
+                       texture=True, aux_buffers=True)
+    mono = render_frame(make_scene(h, albedo=albedo), cam, cfg)
+    tiled = render_frame_tiled(h, cam, cfg, tile=tile, albedo=albedo)
+    np.testing.assert_array_equal(np.asarray(tiled.hit), np.asarray(mono.hit))
+    np.testing.assert_allclose(np.asarray(tiled.depth),
+                               np.asarray(mono.depth), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tiled.color),
+                               np.asarray(mono.color), atol=2e-4)
+
+
+def test_tiled_from_rawmap(tmp_path):
+    h = procedural_terrain(100, seed=9)
+    path = str(tmp_path / "m.raw")
+    h.astype(np.float32).tofile(path)
+    from hmrt_tpu.io.native import RawTileMap
+    cam = _cam(h)
+    cfg = RenderConfig(width=32, height=24)
+    mono = render_frame(make_scene(h), cam, cfg)
+    with RawTileMap(path) as rm:
+        assert rm.side == 100
+        tiled = render_frame_tiled(rm, cam, cfg, tile=48)
+    np.testing.assert_array_equal(np.asarray(tiled.hit), np.asarray(mono.hit))
+    np.testing.assert_allclose(np.asarray(tiled.color),
+                               np.asarray(mono.color), atol=2e-4)
+
+
+def test_tiled_shadows_raise():
+    h = procedural_terrain(65, seed=3)
+    with pytest.raises(ValueError):
+        render_frame_tiled(h, _cam(h),
+                           RenderConfig(width=8, height=8, shadows=True))
