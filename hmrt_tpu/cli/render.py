@@ -49,6 +49,13 @@ def build_parser():
     p.add_argument("--backend", choices=["auto", "oracle", "pallas", "compact"],
                    default="auto")
     p.add_argument("--zscale", type=float, default=None)
+    p.add_argument("--tile", type=int, default=0, metavar="CELLS",
+                   help="out-of-core tiled render (SURVEY.md C5): stream "
+                        "the map as CELLS^2-cell sub-scenes and composite "
+                        "by depth — for maps too large for device memory. "
+                        "A .raw/.r32 file is mmap'd and never fully loaded "
+                        "(heights are used as-is, no normalization). "
+                        "Incompatible with --shadows/--sharded/--flythrough.")
     return p
 
 
@@ -58,7 +65,17 @@ def main(argv=None):
     import hmrt_tpu as H
     from hmrt_tpu.io.image import write_png
 
-    if args.heightmap:
+    source = None  # out-of-core source (RawTileMap or ndarray)
+    if (args.tile and args.heightmap
+            and args.heightmap.lower().endswith((".raw", ".r32"))):
+        from hmrt_tpu.io.native import RawTileMap
+        source = RawTileMap(args.heightmap)
+        n = source.side
+        # camera defaults need a height estimate; sample a coarse grid
+        probe = source.tile(0, 0, min(n, 512), min(n, 512))
+        zmax, zmean = float(probe.max()), float(probe.mean())
+        terr = None
+    elif args.heightmap:
         terr = H.load_heightmap(args.heightmap, z_scale=args.zscale)
         if terr.shape[0] != terr.shape[1]:
             side = min(terr.shape)
@@ -66,14 +83,16 @@ def main(argv=None):
     else:
         terr = H.procedural_terrain(args.size, seed=args.seed,
                                     z_scale=args.zscale)
-    n = terr.shape[0]
     light = H.Light.create(sun_dir=tuple(args.sun))
-    scene = H.make_scene(terr, light=light)
-
-    zmax = float(terr.max())
+    if terr is not None:
+        n = terr.shape[0]
+        zmax, zmean = float(terr.max()), float(terr.mean())
+        if args.tile:
+            source = terr
+        else:
+            scene = H.make_scene(terr, light=light)
     eye = tuple(args.eye) if args.eye else (n * 0.5, -n * 0.25, zmax + n * 0.06)
-    target = tuple(args.target) if args.target else (n * 0.5, n * 0.5,
-                                                     float(terr.mean()))
+    target = tuple(args.target) if args.target else (n * 0.5, n * 0.5, zmean)
     cam = H.Camera.create(eye=eye, target=target, fov_y_deg=args.fov)
     cfg = H.RenderConfig(width=args.width, height=args.height,
                          traversal=args.traversal,
@@ -83,6 +102,10 @@ def main(argv=None):
                          backend=args.backend)
 
     if args.flythrough:
+        if args.tile:
+            print("--tile is incompatible with --flythrough",
+                  file=sys.stderr)
+            return 2
         from hmrt_tpu.api.flythrough import orbit_flythrough, frame_camera
         cams = orbit_flythrough(n, zmax, args.flythrough)
         frames = []
@@ -98,7 +121,15 @@ def main(argv=None):
         return 0
 
     t0 = time.time()
-    if args.sharded:
+    if args.tile:
+        if args.shadows or args.sharded:
+            print("--tile is incompatible with --shadows/--sharded",
+                  file=sys.stderr)
+            return 2
+        from hmrt_tpu.api.tiled import render_frame_tiled
+        fr = render_frame_tiled(source, cam, cfg, tile=args.tile,
+                                light=light)
+    elif args.sharded:
         from hmrt_tpu.distrib.mesh import (make_mesh, render_frame_sharded,
                                            replicate_scene)
         mesh = make_mesh()

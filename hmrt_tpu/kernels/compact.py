@@ -14,11 +14,15 @@ compaction architecture:
      per-block iteration budget; unresolved lanes exit with saved state;
   3. PERIODIC COMPACTION: before every round, surviving rays are SORTED
      by their current terrain column (one argsort + row-gather — ray
-     state AND accumulated hit results ride in a (P, 15) f32 row matrix
-     so the permutation is a fast row gather), making every block
-     column-coherent again; rounds are python-unrolled (while/scan around
-     pallas_call miscompiles — BENCH_NOTES.md) and the last one is
-     unbudgeted, so every ray resolves;
+     state AND accumulated hit results ride a (P, 15) f32 row matrix so
+     the permutation is one fast row gather), making every block
+     column-coherent again; rounds are python-unrolled inside one jit
+     (while/scan around pallas_call miscompiled when this was built —
+     tools/repros/) and the last round is unbudgeted, so every ray
+     resolves. A host-adaptive variant that sliced the population to
+     alive-count buckets between rounds measured 2.95 s vs this static
+     schedule's 2.65 s on B3: per-round host syncs + extra dispatches
+     cost more than dead-row slicing saves (BENCH_NOTES.md);
   4. hits are sorted by hit column once more for the SHADE PASS (corner
      gradients + albedo fetched per column), shadow rays reuse that same
      ordering, and the final color math is plain fused XLA elementwise.
@@ -358,16 +362,26 @@ def shade_pass(shade, albedo, hit, hx, hy, fx, fy, *, m5, textured,
 # ---------------------------------------------------------------------------
 
 def _init_state(ox, oy, oz, dx, dy, dz, valid0, gmax, *, n, levels,
-                clip=None):
-    """Initial march state — identical math to the kernels' entry logic."""
+                clip=None, m=None, start_cell=None):
+    """Initial march state — identical math to the kernels' entry logic.
+
+    `start_cell=(cx, cy)`: begin at level 0 in that fine cell instead of
+    descending from the pyramid top — the shadow-ray variant (origins sit
+    in the primary hit cell; starting at any level is correct, this skips
+    the whole coarse phase — same policy as the fused kernel)."""
     world_max = float(n - 1)
     t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max, clip)
     valid = valid & valid0
     sky = ((oz + t0 * dz) > gmax) & (dz >= 0.0)
     valid = valid & ~sky
-    top = levels - 1
-    lvl = jnp.full(ox.shape, top, jnp.int32)
-    icx, icy = entry_cell(ox, oy, dx, dy, t0, lvl, 1)
+    if start_cell is not None:
+        lvl = jnp.zeros(ox.shape, jnp.int32)
+        icx = jnp.clip(start_cell[0], 0, m - 1)
+        icy = jnp.clip(start_cell[1], 0, m - 1)
+    else:
+        top = levels - 1
+        lvl = jnp.full(ox.shape, top, jnp.int32)
+        icx, icy = entry_cell(ox, oy, dx, dy, t0, lvl, 1)
     return (valid.astype(jnp.int32), jnp.where(valid, t0, BIG_T),
             lvl, icx, icy)
 
@@ -500,7 +514,9 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
         srays = (jnp.where(hit, sxo, -1e6), jnp.where(hit, syo, -1e6), szo,
                  jnp.broadcast_to(lx, (P,)), jnp.broadcast_to(ly, (P,)),
                  jnp.broadcast_to(lz, (P,)))
-        sstate = _init_state(*srays, hit, gmax, n=n, levels=levels)
+        sstate = _init_state(*srays, hit, gmax, n=n, levels=levels,
+                             clip=config.clip_box, m=m,
+                             start_cell=(hx, hy))
         shit, _, _, _ = full_march(srays, sstate)
         occ = shit
         diff = jnp.where(occ, 0.0, diff)
