@@ -45,7 +45,8 @@ from hmrt_tpu.core.renderer import SHADOW_EPS
 from hmrt_tpu.kernels.march_body import (BIG_KEY, _multi_gather, _vreg_gather,
                                          cascade_index, column_of,
                                          fine_gathers, wavefront_step)
-from hmrt_tpu.kernels.packing import COL_ROWS, CORNER_ROW, PackedScene, cascade_offsets
+from hmrt_tpu.kernels.packing import (COL_ROWS, CORNER_ROW, PackedScene,
+                                      cascade_offsets)
 from hmrt_tpu.shading import shade as sh
 from hmrt_tpu.traversal.intersect import BIG_T, INTERSECTORS
 from hmrt_tpu.traversal.march import entry_cell, ray_box_range, ray_inverses

@@ -37,6 +37,21 @@ Column record row layout (rows of 128 lanes):
 In-column index at level l >= 1: off(l) + ly*(32>>l) + lx with lx/ly =
 cell coords masked to the column (closed-form lane arithmetic in the
 kernel); level 0 reads the corner channels at ly*32 + lx directly.
+
+Rejected round-2 experiments (kept here so they are not retried blind;
+numbers in BENCH_NOTES.md "Deferred-test post-mortem"): a separate
+level-0 max block (rows 4-11) feeding a cheap skip-only scan step, with
+the exact corner test DEFERRED — parked lanes batch-flushed every K
+iterations (B3 4.11 s vs 2.62 s baseline), and on top of that RUNAHEAD
+stepping (consume a whole run of skippable cells per iteration, 5.75 s).
+Both lose for the same measured reason: on grazing/terrain-hugging rays
+the level-0 cell-max test fails on a large fraction of steps (single-cell
+maxima sit above the grazing band just like the 2x2 ones), so the exact
+corner test is needed nearly every iteration and any architecture that
+defers it only adds stall + duplicate work. A bf16 round-up variant of
+the max block was worse still (3.98 s even before runahead): grazing
+clearance is smaller than a bf16 ulp of the height scale, so the
+conservative bound parked almost every step.
 """
 
 from __future__ import annotations

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Compaction-schedule sweep for the B3 workload on real hardware.
+
+Usage:
+    python tools/sweep_b3.py [--map 4096] [--schedules "0,2,512,4,8 0,2,512,8,8"]
+
+Each schedule is first_budget,rounds,round_budget,n_col.
+Timing follows bench/timing.py's hazards: salted camera per rep + scalar
+value fetch (the tunnel dedups identical dispatches / reports early).
+"""
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--map", type=int, default=4096)
+    ap.add_argument("--res", default="1920x1080")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--schedules",
+                    default="0,2,512,4")
+    args = ap.parse_args()
+
+    from hmrt_tpu.api.scene import make_scene
+    from hmrt_tpu.bench.configs import BENCH_CONFIGS
+    from hmrt_tpu.io.heightmap import procedural_terrain
+    from hmrt_tpu.kernels.compact import render_frame_compact
+    from hmrt_tpu.types import Camera
+    import dataclasses
+
+    w, h = (int(v) for v in args.res.split("x"))
+    cfg = dataclasses.replace(BENCH_CONFIGS["B3"].render, width=w, height=h)
+    n = args.map
+    terr = procedural_terrain(n, seed=3)
+    scene = make_scene(terr)
+    zmax = float(terr.max())
+    cam0 = Camera.create(eye=(n * 0.5, -n * 0.25, zmax + n * 0.06),
+                         target=(n * 0.5, n * 0.5, float(terr.mean())),
+                         fov_y_deg=55.0)
+
+    def run(sched, salt):
+        fb, r, rb, nc = sched[:4]
+        cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
+                     fov_y=cam0.fov_y)
+        fr = render_frame_compact(scene, scene.packed, cam, cfg,
+                                  first_budget=fb, rounds=r,
+                                  round_budget=rb, n_col=nc)
+        return float(jnp.sum(fr.color[::16, ::16]))
+
+    for stxt in args.schedules.split():
+        sched = tuple(int(v) for v in stxt.split(","))
+        try:
+            run(sched, jnp.zeros(3, jnp.float32))  # compile
+            times = []
+            for rep in range(1, args.reps + 1):
+                salt = jnp.asarray([rep * 1e-4, -rep * 1e-4, rep * 1e-4],
+                                   jnp.float32)
+                t0 = time.perf_counter()
+                run(sched, salt)
+                times.append((time.perf_counter() - t0) * 1e3)
+            times.sort()
+            print(f"{stxt}: {times[len(times)//2]:.0f} ms  (all: "
+                  f"{[f'{t:.0f}' for t in times]})", flush=True)
+        except Exception as e:
+            print(f"{stxt}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
