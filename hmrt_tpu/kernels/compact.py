@@ -115,6 +115,11 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
     def a_body(c):
         i, st = c
         act = (st["alive"] != 0) & (st["lvl"] >= l32)
+        if debug:
+            # phase-A activity rides the same planes; i_body's level-0
+            # counter (n0) never fires here, so lvl0% isolates phase B
+            st = dict(st, work=st["work"] + act.astype(jnp.int32),
+                      nit=st["nit"] + 1)
         lvl, icx, icy = st["lvl"], st["icx"], st["icy"]
         side = m >> lvl
         cidx = coarse_index(lvl, jnp.clip(icy, 0, side - 1),
@@ -432,8 +437,15 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
     oz = jnp.broadcast_to(eye[2], (P,))
     rays = (ox, oy, oz, dx, dy, dz)
 
+    # n_col may be per-round: (pass0, round1, ..., final); an int applies
+    # to every pass. Early passes span many columns per block; post-sort
+    # tail blocks are column-tight, where fewer served columns cut the
+    # dominant per-column gather cost.
+    ncols = ((n_col,) * (rounds + 1) if isinstance(n_col, int)
+             else tuple(n_col))
+    assert len(ncols) == rounds + 1, (ncols, rounds)
     mkw = dict(n=n, m=m, levels=levels, m5=m5, l32=l32,
-               cell_intersect=config.cell_intersect, n_col=n_col,
+               cell_intersect=config.cell_intersect,
                interpret=interpret, clip=config.clip_box)
     state_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
     res_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
@@ -455,7 +467,7 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
         # pass 0: screen/launch order, small budget (sky + near hits
         # resolve; survivors carry their column position into the sort)
         state, res = march_pass(coarse, columns, rays, state, res,
-                                budget=first_budget, **mkw)
+                                budget=first_budget, n_col=ncols[0], **mkw)
         perm_tot = None
         for r in range(rounds):
             last = r == rounds - 1
@@ -471,7 +483,8 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
             res = tuple(cols[11:])
             state, res = march_pass(coarse, columns, rays, state, res,
                                     budget=(1 << 22) if last
-                                    else round_budget, **mkw)
+                                    else round_budget,
+                                    n_col=ncols[r + 1], **mkw)
         # back to launch order (invert the composed permutation)
         if perm_tot is not None:
             inv = jnp.zeros(P, jnp.int32).at[perm_tot].set(

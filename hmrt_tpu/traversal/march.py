@@ -67,9 +67,16 @@ def ray_box_range(ox, oy, dx, dy, world_max, clip=None):
     return t0, t1, t1 > t0
 
 
+def _cell_side(lvl):
+    """2^lvl as f32 from an integer level: shift + convert (2 cheap VPU ops)
+    instead of jnp.exp2 (transcendental lowering). Exact — powers of two
+    are exactly representable, so downstream float math is bit-identical."""
+    return (jnp.int32(1) << lvl).astype(jnp.float32)
+
+
 def entry_cell(ox, oy, dx, dy, t0, lvl, side):
     """Integer cell containing the entry point at level `lvl` (clamped)."""
-    s = jnp.exp2(lvl.astype(jnp.float32))
+    s = _cell_side(lvl)
     px = ox + t0 * dx
     py = oy + t0 * dy
     icx = jnp.clip(jnp.floor(px / s).astype(jnp.int32), 0, side - 1)
@@ -93,7 +100,7 @@ def step_geometry(ox, oy, dx, dy, icx, icy, lvl, inv_x=None, inv_y=None):
     """
     if inv_x is None:
         inv_x, inv_y = ray_inverses(dx, dy)
-    s = jnp.exp2(lvl.astype(jnp.float32))
+    s = _cell_side(lvl)
     pos_x = dx > 0.0
     pos_y = dy > 0.0
     bx = icx + pos_x.astype(jnp.int32)          # x boundary index to cross
@@ -125,8 +132,12 @@ def ascent_levels(b):
 
 
 def descend_cell(ox, oy, dx, dy, t, icx, icy, lvl):
-    """Child cell (at lvl-1) containing the position at parameter t."""
-    s_child = jnp.exp2((lvl - 1).astype(jnp.float32))
+    """Child cell (at lvl-1) containing the position at parameter t.
+
+    Callers mask out lvl == 0 lanes (descend is only taken above level 0);
+    the clamp keeps the shift in _cell_side defined for those dead lanes
+    (a negative shift is undefined, where exp2(-1) merely gave 0.5)."""
+    s_child = _cell_side(jnp.maximum(lvl - 1, 0))
     px = ox + t * dx
     py = oy + t * dy
     cx2 = 2 * icx

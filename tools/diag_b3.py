@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Per-round diagnostics for the compact B3 path: density, iteration and
+level-0 stats per march pass, plus wall time of each phase (passes, sorts)
+measured separately (salted fetch timing, same hazards as bench/timing.py).
+
+Usage: python tools/diag_b3.py [--map 4096] [--res 1920x1080]
+                               [--sched 0,2,512,4]
+"""
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, *a, **k):
+    """Time one call, forcing completion with ONE scalar value fetch
+    (device-side sum; per-array host fetches over the tunnel cost ~30 ms
+    EACH and would dominate). The caller salts the chain inputs per
+    repetition so the tunnel cannot dedup repeated dispatches."""
+    t0 = time.perf_counter()
+    out = fn(*a, **k)
+    leaves = jax.tree.leaves(out)
+    float(jnp.sum(leaves[1][:1024]))
+    return out, (time.perf_counter() - t0) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--map", type=int, default=4096)
+    ap.add_argument("--res", default="1920x1080")
+    ap.add_argument("--sched", default="0,2,512,4")
+    args = ap.parse_args()
+    fb, rounds, rb, n_col = (int(v) for v in args.sched.split(","))
+
+    import dataclasses
+
+    from hmrt_tpu.api.scene import make_scene
+    from hmrt_tpu.bench.configs import BENCH_CONFIGS
+    from hmrt_tpu.io.heightmap import procedural_terrain
+    from hmrt_tpu.kernels import compact as C
+    from hmrt_tpu.types import Camera
+
+    w, h = (int(v) for v in args.res.split("x"))
+    cfg = dataclasses.replace(BENCH_CONFIGS["B3"].render, width=w, height=h)
+    n = args.map
+    terr = procedural_terrain(n, seed=3)
+    scene = make_scene(terr)
+    packed = scene.packed
+    zmax = float(terr.max())
+    cam = Camera.create(eye=(n * 0.5, -n * 0.25, zmax + n * 0.06),
+                        target=(n * 0.5, n * 0.5, float(terr.mean())),
+                        fov_y_deg=55.0)
+
+    H, W = cfg.height, cfg.width
+    P = -(-H * W // C.LANES) * C.LANES
+    valid0 = jnp.arange(P) < H * W
+    gmax = scene.pyr_flat[-1]
+
+    def make_rays(salt):
+        cs = Camera(eye=cam.eye + salt, target=cam.target, up=cam.up,
+                    fov_y=cam.fov_y)
+        eye, dirs = cs.rays(H, W)
+        d = np.asarray(dirs).reshape(-1, 3)
+        d = np.pad(d, ((0, P - d.shape[0]), (0, 0)), constant_values=1.0)
+        return (jnp.broadcast_to(eye[0], (P,)),
+                jnp.broadcast_to(eye[1], (P,)),
+                jnp.broadcast_to(eye[2], (P,)),
+                jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]),
+                jnp.asarray(d[:, 2]))
+
+    mkw = dict(n=scene.n, m=scene.m, levels=scene.levels, m5=packed.m5,
+               l32=packed.l32, cell_intersect=cfg.cell_intersect,
+               n_col=n_col, debug=True)
+
+    @jax.jit
+    def sort_round(state, rays, res):
+        key = C._column_key(state, packed.m5)
+        perm = jnp.argsort(key)
+        rows = C._pack_rows(*rays, *state, *res)
+        rows_s = jnp.take(rows, perm, axis=0)
+        cols = C._unpack_rows(rows_s, [jnp.float32] * 6
+                              + [jnp.int32, jnp.float32, jnp.int32,
+                                 jnp.int32, jnp.int32]
+                              + [jnp.int32, jnp.float32, jnp.int32,
+                                 jnp.int32])
+        return tuple(cols[:6]), tuple(cols[6:11]), tuple(cols[11:])
+
+    def report(tag, state, dbg, ms):
+        alive = int(np.asarray(state[0]).sum())
+        work = np.asarray(dbg[0], np.int64)
+        n0 = np.asarray(dbg[1], np.int64)
+        nit = np.asarray(dbg[2], np.int64).reshape(-1, C.LANES)[:, 0]
+        blk_iters = int(nit.sum())
+        dens = work.sum() / max(1024 * blk_iters, 1)
+        print(f"{tag}: {ms:7.1f} ms  alive_out={alive:8d}  "
+              f"lane_steps={work.sum()/1e6:8.1f}M  "
+              f"lvl0={100.0*n0.sum()/max(work.sum(),1):5.1f}%  "
+              f"blk_iters={blk_iters:8d}  density={100*dens:5.1f}%",
+              flush=True)
+
+    budgets = [fb] + [rb] * (rounds - 1) + [1 << 22]
+
+    for rep, saltv in enumerate([0.0, 1e-4]):
+        rays = make_rays(jnp.asarray([saltv, -saltv, saltv], jnp.float32))
+        state = C._init_state(*rays, valid0, gmax, n=scene.n,
+                              levels=scene.levels)
+        res = (jnp.zeros(P, jnp.int32), jnp.full(P, C.BIG_T, jnp.float32),
+               jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32))
+        if rep == 1:
+            print("--- warm, salted repetition ---", flush=True)
+        for r, budget in enumerate(budgets):
+            if r > 0:
+                (rays, state, res), ms = timed(sort_round, state, rays, res)
+                if rep == 1:
+                    print(f"sort {r}: {ms:7.1f} ms", flush=True)
+            (state, res, dbg), ms = timed(
+                C.march_pass, packed.coarse, packed.columns, rays, state,
+                res, budget=budget, **mkw)
+            if rep == 1:
+                report(f"pass {r} (budget {budget})", state, dbg, ms)
+
+    hit = int(np.asarray(res[0]).sum())
+    print(f"total hits: {hit} / {H*W}")
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,8 @@
 Usage:
     python tools/sweep_b3.py [--map 4096] [--schedules "0,2,512,4,8 0,2,512,8,8"]
 
-Each schedule is first_budget,rounds,round_budget,n_col.
+Each schedule is first_budget,rounds,round_budget,n_col where n_col is an
+int or a per-pass colon list (pass0:round1:...:final), e.g. 0,2,512,4:4:2.
 Timing follows bench/timing.py's hazards: salted camera per rep + scalar
 value fetch (the tunnel dedups identical dispatches / reports early).
 """
@@ -45,13 +46,17 @@ def main():
         fb, r, rb, nc = sched[:4]
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
+        if isinstance(nc, tuple) and len(nc) == 1:
+            nc = nc[0]
         fr = render_frame_compact(scene, scene.packed, cam, cfg,
                                   first_budget=fb, rounds=r,
                                   round_budget=rb, n_col=nc)
         return float(jnp.sum(fr.color[::16, ::16]))
 
     for stxt in args.schedules.split():
-        sched = tuple(int(v) for v in stxt.split(","))
+        sched = tuple(
+            tuple(int(x) for x in v.split(":")) if ":" in v else int(v)
+            for v in stxt.split(","))
         try:
             run(sched, jnp.zeros(3, jnp.float32))  # compile
             times = []
