@@ -42,9 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hmrt_tpu.config import RenderConfig
 from hmrt_tpu.core.renderer import SHADOW_EPS
-from hmrt_tpu.kernels.march_body import (BIG_KEY, _multi_gather, _vreg_gather,
+from hmrt_tpu.kernels.march_body import (BIG_KEY, _multi_gather,
+                                         _scalar_cond, _vreg_gather,
                                          cascade_index, column_of,
-                                         fine_gathers, wavefront_step)
+                                         fine_gathers, wavefront_step,
+                                         wavefront_step_l0)
 from hmrt_tpu.kernels.packing import (COL_ROWS, CORNER_ROW, PackedScene,
                                       cascade_offsets)
 from hmrt_tpu.shading import shade as sh
@@ -67,7 +69,9 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                        n: int, m: int, levels: int, m5: int, l32: int,
                        cell_intersect: str,
                        coarse_cap: int, budget: int, inner_cap: int,
-                       n_col: int, debug: bool = False, clip=None):
+                       n_col: int, l0_only: bool = False,
+                       strip_serve: bool = False, l0_conds: bool = False,
+                       debug: bool = False, clip=None):
     (alive_o, t_o, lvl_o, icx_o, icy_o,
      hit_o, thit_o, hx_o, hy_o) = refs[:9]
     dbg_refs = refs[9:-2] if debug else ()
@@ -101,10 +105,17 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
     if debug:
         shp = st["t"].shape
         # per-lane served-step count, level-0 step count, block iteration
-        # count — perf diagnosis planes (lane efficiency = work / iters)
+        # count, level-0 skip-advances and exact tests — perf diagnosis
+        # planes (lane efficiency = work / iters; skip:test ratio gates
+        # whether pair-skip style optimizations can pay)
         st["work"] = jnp.zeros(shp, jnp.int32)
         st["n0"] = jnp.zeros(shp, jnp.int32)
         st["nit"] = jnp.zeros(shp, jnp.int32)
+        st["nskip"] = jnp.zeros(shp, jnp.int32)
+        st["ntest"] = jnp.zeros(shp, jnp.int32)
+        st["nal"] = jnp.zeros(shp, jnp.int32)   # alive-lane integral:
+        # work/nal = in-set serving efficiency; nal/(1024*nit) = block
+        # liveness — splits density loss into its two causes
 
     # -------- phase A: coarse levels (VMEM), uncapped by the budget --------
     def a_cond(c):
@@ -130,37 +141,65 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                             m=m, asc_cap=3, lvl_ceiling=top)
         return i + 1, st
 
-    _, st = jax.lax.while_loop(a_cond, a_body, (jnp.int32(0), st))
+    if not l0_only:
+        _, st = jax.lax.while_loop(a_cond, a_body, (jnp.int32(0), st))
 
     # -------- phase B: column demand loop with iteration budget --------
-    def col_of(st):
-        return column_of(st, m5)
+    # strip_serve (l0 tail only): serving keys are dual-axis strip-pair
+    # record ids (kernels/packing.py _build_strips) instead of 32x32
+    # column ids, and columns_hbm IS the strips array — the corner gather
+    # then indexes along each ray's dominant axis with no row scan.
+    ns = (m >> 7) * (m >> 1)
+    ydom = jnp.abs(dy) > jnp.abs(dx)
+    n_recs = 2 * ns if strip_serve else m5 * m5
+
+    def key_of(st):
+        if not strip_serve:
+            return column_of(st, m5)
+        icx, icy = st["icx"], st["icy"]
+        kx = (icx >> 7) * (m >> 1) + (icy >> 1)
+        ky = ns + (icy >> 7) * (m >> 1) + (icx >> 1)
+        return jnp.where(st["alive"] != 0,
+                         jnp.where(ydom, ky, kx), BIG_KEY)
 
     offs = cascade_offsets(l32)
 
-    def b_cond(c):
-        nin, st = c
-        return (nin < budget) & jnp.any(st["alive"] != 0)
-
-    def b_body(c):
-        nin, st = c
-        keys = col_of(st)
-        sels = []
+    # NOTE a software-pipelined double-buffered variant (prefetch the
+    # predicted next record set into a second scratch half while marching
+    # the current one) measured 2745 ms vs 2587 ms serial on B3: the
+    # mispredicted sets lose more lane density than the ~us of DMA
+    # latency they hide. Serial start->wait->march stays.
+    def select_excl(keys, excl):
         rest = keys
-        for c in range(n_col):
+        for e in excl:
+            rest = jnp.where(rest == e, BIG_KEY, rest)
+        sels = []
+        for _ in range(n_col):
             sc = jnp.min(rest)
             sels.append(sc)
             rest = jnp.where(rest == sc, BIG_KEY, rest)
+        return sels
+
+    def start_dmas(sels, base):
         for c, sc in enumerate(sels):
-            scc = jnp.minimum(sc, m5 * m5 - 1)
-            pltpu.make_async_copy(columns_hbm.at[scc], col_scr.at[c],
-                                  sems.at[c]).start()
+            scc = jnp.minimum(sc, n_recs - 1)
+            pltpu.make_async_copy(columns_hbm.at[scc],
+                                  col_scr.at[base + c],
+                                  sems.at[base + c]).start()
+
+    def wait_dmas(base):
         for c in range(n_col):
-            pltpu.make_async_copy(columns_hbm.at[0], col_scr.at[c],
-                                  sems.at[c]).wait()
+            pltpu.make_async_copy(columns_hbm.at[0], col_scr.at[base + c],
+                                  sems.at[base + c]).wait()
+
+    def b_cond(c):
+        nin, st = c[0], c[1]
+        return (nin < budget) & jnp.any(st["alive"] != 0)
+
+    def march_set(st, sels, base):
 
         def in_set(st):
-            cols = col_of(st)
+            cols = key_of(st)
             ok = cols == sels[0]
             for sc in sels[1:]:
                 ok = ok | (cols == sc)
@@ -178,24 +217,99 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
             if debug:
                 st = dict(st, work=st["work"] + act.astype(jnp.int32),
                           n0=st["n0"] + (act & (lvl == 0)).astype(jnp.int32),
-                          nit=st["nit"] + 1)
-            at0 = lvl == 0
-            fidx = cascade_index(lvl, icx, icy, l32, offs)
+                          nit=st["nit"] + 1,
+                          nal=st["nal"] + (st["alive"] != 0).astype(jnp.int32))
             f0 = (icy & 31) * 32 + (icx & 31)
-            cols_now = col_of(st)
-            cmax, corners_fn = fine_gathers(col_scr, sels, cols_now,
-                                            act, at0, lvl, fidx, f0,
-                                            l32, CORNER_ROW)
-            st = wavefront_step(
-                st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
-                gmax, cmax, corners_fn, m=m, asc_cap=3,
-                lvl_ceiling=l32 - 1, intersector=intersector)
+            cols_now = key_of(st)
+            if l0_only:
+                # tail pass: every lane was force-descended to level 0
+                # (tools/diag_b3.py: tail work is 99.9% level 0 at a
+                # 0.0-0.4% skip rate — pure DDA + exact test), so the
+                # cascade gather, descend, ascent and level arithmetic
+                # are compiled out entirely.
+                if strip_serve:
+                    # dominant-axis strip-pair records: in-record index
+                    # is one coordinate (< 128) — single-row takes, the
+                    # 8-row scan is gone. Row = line parity * 4 + chan.
+                    fs = jnp.where(ydom, icy, icx) & 127
+                    par = (jnp.where(ydom, icx, icy) & 1) == 1
+
+                    def corners_fn():
+                        z = [jnp.zeros(act.shape, jnp.float32)
+                             for _ in range(4)]
+                        for c, sc in enumerate(sels):
+                            mine = cols_now == sc
+                            for ch in range(4):
+                                ge = jnp.take_along_axis(
+                                    jnp.broadcast_to(
+                                        col_scr[base + c, ch:ch + 1, :],
+                                        act.shape), fs, axis=1)
+                                go = jnp.take_along_axis(
+                                    jnp.broadcast_to(
+                                        col_scr[base + c, ch + 4:ch + 5, :],
+                                        act.shape), fs, axis=1)
+                                g = jnp.where(par, go, ge)
+                                z[ch] = jnp.where(mine, g, z[ch])
+                        return tuple(z)
+                else:
+                    def corners_fn():
+                        # per-column scalar conds: as the inner loop runs,
+                        # head columns DRAIN while later ones still march;
+                        # a drained column's 8x4 gather is pure waste.
+                        # (l0_conds gates the experiment — see march_body
+                        # _COND_DEFAULT for why the fused kernel differs.)
+                        z = [jnp.zeros(act.shape, jnp.float32)
+                             for _ in range(4)]
+                        for c, sc in enumerate(sels):
+                            mine = cols_now == sc
+
+                            def gather(c=c, mine=mine, z=z):
+                                g = _multi_gather(
+                                    (col_scr[base + c,
+                                             CORNER_ROW:CORNER_ROW + 8, :],
+                                     col_scr[base + c, CORNER_ROW + 8:
+                                             CORNER_ROW + 16, :],
+                                     col_scr[base + c, CORNER_ROW + 16:
+                                             CORNER_ROW + 24, :],
+                                     col_scr[base + c, CORNER_ROW + 24:
+                                             CORNER_ROW + 32, :]),
+                                    f0)
+                                return tuple(jnp.where(mine, g[i], z[i])
+                                             for i in range(4))
+
+                            z = list(_scalar_cond(
+                                l0_conds, jnp.any(act & mine), gather,
+                                lambda z=z: tuple(z)))
+                        return tuple(z)
+
+                st = wavefront_step_l0(
+                    st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
+                    gmax, corners_fn, m=m, intersector=intersector)
+            else:
+                at0 = lvl == 0
+                fidx = cascade_index(lvl, icx, icy, l32, offs)
+                cmax, corners_fn = fine_gathers(col_scr, sels, cols_now,
+                                                act, at0, lvl, fidx, f0,
+                                                l32, CORNER_ROW, base=base)
+                st = wavefront_step(
+                    st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
+                    gmax, cmax, corners_fn, m=m, asc_cap=3,
+                    lvl_ceiling=l32 - 1, intersector=intersector)
             return k + 1, st
 
         k, st = jax.lax.while_loop(i_cond, i_body, (jnp.int32(0), st))
+        return k, st
+
+    def b_body(c):
+        nin, st = c
+        sels = select_excl(key_of(st), [])
+        start_dmas(sels, 0)
+        wait_dmas(0)
+        k, st = march_set(st, sels, 0)
         return nin + k, st
 
-    _, st = jax.lax.while_loop(b_cond, b_body, (jnp.int32(0), st))
+    out = jax.lax.while_loop(b_cond, b_body, (jnp.int32(0), st))
+    st = out[1]
 
     alive_o[:] = st["alive"]
     t_o[:] = st["t"]
@@ -210,6 +324,9 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         dbg_refs[0][:] = st["work"]
         dbg_refs[1][:] = st["n0"]
         dbg_refs[2][:] = st["nit"]
+        dbg_refs[3][:] = st["nskip"]
+        dbg_refs[4][:] = st["ntest"]
+        dbg_refs[5][:] = st["nal"]
 
 
 def _plane_specs(k):
@@ -220,9 +337,11 @@ def _plane_specs(k):
 @functools.partial(jax.jit,
                    static_argnames=("n", "m", "levels", "m5", "l32",
                                     "cell_intersect", "budget", "n_col",
+                                    "l0_only", "strip_serve", "l0_conds",
                                     "interpret", "debug", "clip"))
 def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
-               l32, cell_intersect, budget, n_col=2, interpret=False,
+               l32, cell_intersect, budget, n_col=2, l0_only=False,
+               strip_serve=False, l0_conds=False, interpret=False,
                debug=False, clip=None):
     """One budgeted march sweep over all ray blocks.
 
@@ -230,8 +349,11 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
     state:   (alive_i32, t, lvl, icx, icy) planes
     results: (hit_i32, t_hit, hx, hy) planes, carried THROUGH the pass so
              resort rounds accumulate hits across passes
+    strip_serve: `columns` is the PackedScene.strips array and serving is
+             by dual-axis strip-pair records (l0_only must be set).
     Returns (new_state, new_results).
     """
+    assert not (strip_serve and not l0_only)
     P = rays[0].shape[0]
     R = P // 128
     planes = [r.reshape(R, 128) for r in rays] \
@@ -245,11 +367,13 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
         _march_pass_kernel, n=n, m=m, levels=levels, m5=m5, l32=l32,
         cell_intersect=cell_intersect,
         coarse_cap=24 * levels + 96, budget=budget, inner_cap=256,
-        n_col=n_col, debug=debug, clip=clip)
+        n_col=n_col, l0_only=l0_only, strip_serve=strip_serve,
+        l0_conds=l0_conds, debug=debug, clip=clip)
 
     out_dt = ([jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
               + [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
-              + ([jnp.int32] * 3 if debug else []))
+              + ([jnp.int32] * 6 if debug else []))
+    rec_rows = 8 if strip_serve else COL_ROWS
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -259,7 +383,7 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
         out_specs=_plane_specs(len(out_dt)),
         out_shape=[jax.ShapeDtypeStruct((R, 128), dt) for dt in out_dt],
         scratch_shapes=[
-            pltpu.VMEM((n_col, COL_ROWS, 128), jnp.float32),
+            pltpu.VMEM((n_col, rec_rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((max(n_col, 2),)),
         ],
         interpret=interpret,
@@ -268,7 +392,7 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
     new_state = (flat[0], flat[1], flat[2], flat[3], flat[4])
     new_results = (flat[5], flat[6], flat[7], flat[8])
     if debug:
-        return new_state, new_results, (flat[9], flat[10], flat[11])
+        return new_state, new_results, tuple(flat[9:15])
     return new_state, new_results
 
 
@@ -392,11 +516,43 @@ def _init_state(ox, oy, oz, dx, dy, dz, valid0, gmax, *, n, levels,
             lvl, icx, icy)
 
 
+def _force_level0(rays, state, levels):
+    """Descend every surviving lane to the level-0 cell containing its
+    current position. Descending without testing is always safe (the skip
+    test only ever skips when certain, and this skips nothing), so the
+    l0-only tail pass stays bit-exact; the cost is that a lane that could
+    still have taken coarse skips now steps cell-by-cell — measured
+    irrelevant, the tail is 99.9% level-0 anyway (tools/diag_b3.py)."""
+    from hmrt_tpu.traversal.march import descend_cell
+    ox, oy, oz, dx, dy, dz = rays
+    alive, t, lvl, icx, icy = state
+    for _ in range(levels - 1):
+        can = lvl > 0
+        dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy,
+                                jnp.maximum(lvl, 1))
+        icx = jnp.where(can, dcx, icx)
+        icy = jnp.where(can, dcy, icy)
+        lvl = jnp.maximum(lvl - 1, 0)
+    return (alive, t, lvl, icx, icy)
+
+
 def _column_key(state, m5):
     alive, t, lvl, icx, icy = state
     colx = jnp.clip((icx << lvl) >> 5, 0, m5 - 1)
     coly = jnp.clip((icy << lvl) >> 5, 0, m5 - 1)
     return jnp.where(alive != 0, coly * m5 + colx, BIG_KEY)
+
+
+def _strip_key(rays, state, m):
+    """Dual-axis strip-pair record id per lane — the same expression as
+    the kernel's key_of in strip mode (state must be at level 0)."""
+    _, _, _, dx, dy, _ = rays
+    alive, _, _, icx, icy = state
+    ns = (m >> 7) * (m >> 1)
+    ydom = jnp.abs(dy) > jnp.abs(dx)
+    kx = (icx >> 7) * (m >> 1) + (icy >> 1)
+    ky = ns + (icy >> 7) * (m >> 1) + (icx >> 1)
+    return jnp.where(alive != 0, jnp.where(ydom, ky, kx), BIG_KEY)
 
 
 def _pack_rows(*planes):
@@ -418,15 +574,19 @@ def _unpack_rows(rows, dtypes):
 @functools.partial(jax.jit,
                    static_argnames=("config", "n", "m", "levels", "m5",
                                     "l32", "interpret", "first_budget",
-                                    "rounds", "round_budget", "n_col"))
-def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
-                        gmax, *, config: RenderConfig, n, m, levels, m5, l32,
-                        interpret, first_budget=96, rounds=3,
-                        round_budget=256, n_col=2):
+                                    "rounds", "round_budget", "n_col",
+                                    "l0_tail", "has_strips", "l0_conds",
+                                    "full_height"))
+def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
+                        albedo_b, gmax, *, config: RenderConfig, n, m,
+                        levels, m5, l32, interpret, first_budget=96,
+                        rounds=3, round_budget=256, n_col=2, l0_tail=True,
+                        has_strips=False, l0_conds=False, row0=None,
+                        full_height=None):
     H, W = config.height, config.width
     P = -(-H * W // LANES) * LANES
 
-    eye, dirs = camera.rays(H, W)
+    eye, dirs = camera.rays(H, W, row0=row0, full_height=full_height)
     d = dirs.reshape(-1, 3)
     pad = P - d.shape[0]
     d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
@@ -471,7 +631,13 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
         perm_tot = None
         for r in range(rounds):
             last = r == rounds - 1
-            key = _column_key(state, m5)
+            tail = last and l0_tail
+            if tail:
+                # force level 0 BEFORE the sort so the sort key is the
+                # final-pass serving key (strip record / fine column)
+                state = _force_level0(rays, state, levels)
+            key = (_strip_key(rays, state, m) if tail and has_strips
+                   else _column_key(state, m5))
             perm = jnp.argsort(key)
             perm_tot = perm if perm_tot is None else jnp.take(perm_tot, perm)
             rows = _pack_rows(*rays, *state, *res)
@@ -481,10 +647,16 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
             rays = tuple(cols[:6])
             state = tuple(cols[6:11])
             res = tuple(cols[11:])
-            state, res = march_pass(coarse, columns, rays, state, res,
+            state, res = march_pass(coarse,
+                                    strips if tail and has_strips
+                                    else columns,
+                                    rays, state, res,
                                     budget=(1 << 22) if last
                                     else round_budget,
-                                    n_col=ncols[r + 1], **mkw)
+                                    n_col=ncols[r + 1],
+                                    l0_only=tail,
+                                    strip_serve=tail and has_strips,
+                                    l0_conds=l0_conds, **mkw)
         # back to launch order (invert the composed permutation)
         if perm_tot is not None:
             inv = jnp.zeros(P, jnp.int32).at[perm_tot].set(
@@ -572,7 +744,11 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b, albedo_b,
 def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          config: RenderConfig, interpret: bool = False,
                          first_budget: int = 0, rounds: int = 2,
-                         round_budget: int = 512, n_col: int = 4) -> Frame:
+                         round_budget: int = 512, n_col: int = 4,
+                         l0_tail: bool = True,
+                         strip_tail: bool = False,
+                         l0_conds: bool = False, row0=None,
+                         full_height: int | None = None) -> Frame:
     """Compacted-wavefront render (see module docstring).
 
     first_budget/rounds/round_budget/n_col: compaction schedule — the
@@ -588,9 +764,14 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     3725 ms.
     """
     gmax = scene.pyr_flat[-1]
+    has_strips = strip_tail and l0_tail and packed.strips is not None
+    strips = (packed.strips if has_strips
+              else jnp.zeros((1, 8, 128), jnp.float32))
     return _render_compact_jit(
-        camera, scene.light, packed.coarse, packed.columns, packed.shade,
-        packed.albedo, gmax, config=config, n=scene.n, m=scene.m,
-        levels=scene.levels, m5=packed.m5, l32=packed.l32,
+        camera, scene.light, packed.coarse, packed.columns, strips,
+        packed.shade, packed.albedo, gmax, config=config, n=scene.n,
+        m=scene.m, levels=scene.levels, m5=packed.m5, l32=packed.l32,
         interpret=interpret, first_budget=first_budget, rounds=rounds,
-        round_budget=round_budget, n_col=n_col)
+        round_budget=round_budget, n_col=n_col, l0_tail=l0_tail,
+        has_strips=has_strips, l0_conds=l0_conds, row0=row0,
+        full_height=full_height)

@@ -104,7 +104,7 @@ def cascade_index(lvl, icx, icy, l32, offs):
 
 
 def fine_gathers(col_scr, sels, cols_now, act, at0, lvl, fidx, f0, l32,
-                 corner_row, casc_rows=3, use_conds=_COND_DEFAULT):
+                 corner_row, casc_rows=3, use_conds=_COND_DEFAULT, base=0):
     """Gathers for the column demand loop serving columns `sels`.
 
     Returns (cmax, corners_fn):
@@ -123,7 +123,7 @@ def fine_gathers(col_scr, sels, cols_now, act, at0, lvl, fidx, f0, l32,
     cmax = jnp.zeros(shp, jnp.float32)
     for c, sc in enumerate(sels):
         mine = cols_now == sc
-        cm = _vreg_gather(col_scr[c, 0:casc_rows, :], fidx, casc_rows)
+        cm = _vreg_gather(col_scr[base + c, 0:casc_rows, :], fidx, casc_rows)
         cmax = jnp.where(mine, cm, cmax)
     cmax = jnp.where(lvl >= l32, BIG_T, cmax)
 
@@ -134,10 +134,11 @@ def fine_gathers(col_scr, sels, cols_now, act, at0, lvl, fidx, f0, l32,
 
             def gather(c=c, mine=mine, z=z):
                 g = _multi_gather(
-                    (col_scr[c, corner_row + 0:corner_row + 8, :],
-                     col_scr[c, corner_row + 8:corner_row + 16, :],
-                     col_scr[c, corner_row + 16:corner_row + 24, :],
-                     col_scr[c, corner_row + 24:corner_row + 32, :]), f0)
+                    (col_scr[base + c, corner_row + 0:corner_row + 8, :],
+                     col_scr[base + c, corner_row + 8:corner_row + 16, :],
+                     col_scr[base + c, corner_row + 16:corner_row + 24, :],
+                     col_scr[base + c, corner_row + 24:corner_row + 32, :]),
+                    f0)
                 return tuple(jnp.where(mine, g[i], z[i]) for i in range(4))
 
             def keep(z=z):
@@ -202,6 +203,10 @@ def wavefront_step(st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1, gmax,
         hit_now = (hraw != 0) & test
         advance = act & ~descend & ~hit_now
         asc_src = advance if ascend_on_test_miss else (act & skip)
+        if "nskip" in st:  # perf-diagnosis planes (kernels pass them
+            st = dict(st,  # through st in debug mode only)
+                      nskip=st["nskip"] + (act & skip & at0).astype(jnp.int32),
+                      ntest=st["ntest"] + test.astype(jnp.int32))
 
     dcx, dcy = descend_cell(ox, oy, dx, dy, t, icx, icy, lvl)
     asc = jnp.where(asc_src, jnp.minimum(ascent_levels(bnd), asc_cap), 0)
@@ -235,4 +240,68 @@ def wavefront_step(st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1, gmax,
         st["t_hit"] = jnp.where(hit_now, t_c, st["t_hit"])
         st["hx"] = jnp.where(hit_now, icx, st["hx"])
         st["hy"] = jnp.where(hit_now, icy, st["hy"])
+    return st
+
+
+def wavefront_step_l0(st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
+                      gmax, corners_fn, *, m, intersector):
+    """Level-0-only masked step: uniform DDA + exact test, NO pyramid.
+
+    The tail of the compacted march is measured 99.9% at level 0 with a
+    0.0-0.4% skip rate (tools/diag_b3.py; the level-0 cell max sits above
+    a grazing ray on essentially every cell), i.e. it is brute-force DDA
+    with an exact test per cell. This step drops everything the pyramid
+    needs — cascade gather, descend, ascent, per-lane level arithmetic —
+    for lanes the caller has already forced to level 0.
+
+    Exactness: the skip test, test window, and intersector are the same
+    expressions as wavefront_step's level-0 branch, and never ascending
+    is a pure policy choice (the skip test stays conservative), so hit
+    decisions are bit-identical to the oracle.
+    """
+    t, icx, icy = st["t"], st["icx"], st["icy"]
+    pos_x = dx > 0.0
+    pos_y = dy > 0.0
+    bx = icx + pos_x.astype(jnp.int32)
+    by = icy + pos_y.astype(jnp.int32)
+    tx = (bx.astype(jnp.float32) - ox) * inv_x
+    ty = (by.astype(jnp.float32) - oy) * inv_y
+    tx = jnp.where(jnp.abs(dx) < 1e-20, BIG_T, tx)
+    ty = jnp.where(jnp.abs(dy) < 1e-20, BIG_T, ty)
+    axis_x = tx <= ty
+    t_exit = jnp.minimum(tx, ty)
+    nx = jnp.where(axis_x, icx + jnp.where(pos_x, 1, -1), icx)
+    ny = jnp.where(axis_x, icy, icy + jnp.where(pos_y, 1, -1))
+    t_exit_c = jnp.minimum(t_exit, t1)
+    zmin = oz + jnp.minimum(t * dz, t_exit_c * dz)
+
+    z00, z10, z01, z11 = corners_fn()
+    cmax0 = jnp.maximum(jnp.maximum(z00, z10), jnp.maximum(z01, z11))
+    h, t_c = intersector(ox, oy, oz, dx, dy, dz, icx, icy,
+                         z00, z10, z01, z11, t - T_TOL, t_exit_c + T_TOL)
+    skip = zmin > cmax0
+    hit_now = h & act & ~skip
+    advance = act & ~hit_now
+
+    new_t = jnp.maximum(t, t_exit_c)
+    escaped = advance & (oz + new_t * dz > gmax) & (dz > 0.0)
+    out = (advance & ((t_exit >= t1 - EPS_EXIT)
+                      | (nx < 0) | (nx >= m) | (ny < 0) | (ny >= m))
+           | escaped)
+
+    st = dict(st)
+    st["t"] = jnp.where(advance, new_t, t)
+    st["icx"] = jnp.where(advance, nx, icx)
+    st["icy"] = jnp.where(advance, ny, icy)
+    st["alive"] = (st["alive"]
+                   * (1 - hit_now.astype(jnp.int32))
+                   * (1 - out.astype(jnp.int32)))
+    st["hit"] = jnp.maximum(st["hit"], hit_now.astype(jnp.int32))
+    st["t_hit"] = jnp.where(hit_now, t_c, st["t_hit"])
+    st["hx"] = jnp.where(hit_now, icx, st["hx"])
+    st["hy"] = jnp.where(hit_now, icy, st["hy"])
+    if "nskip" in st:
+        st = dict(st,
+                  nskip=st["nskip"] + (act & skip).astype(jnp.int32),
+                  ntest=st["ntest"] + (act & ~skip).astype(jnp.int32))
     return st

@@ -70,6 +70,48 @@ def test_compact_texture(scene128c):
     _compare(sc, terr, RenderConfig(width=128, height=32, texture=True))
 
 
+def test_compact_strip_tail(scene128c):
+    """The optional dual-axis strip tail (pack_scene(strips=True) +
+    strip_tail=True) must be exact like the default column tail."""
+    from hmrt_tpu.kernels.packing import pack_scene
+
+    scene, terr = scene128c
+    packed = pack_scene(scene, strips=True)
+    assert packed.strips is not None
+    cam = _cam(terr)
+    cfg = RenderConfig(width=128, height=32, shading="phong")
+    fc = render_frame_compact(scene, packed, cam, cfg,
+                              interpret=INTERPRET, strip_tail=True)
+    fo = render_frame_oracle(scene, cam, cfg)
+    np.testing.assert_array_equal(np.asarray(fc.hit), np.asarray(fo.hit))
+    assert np.abs(np.asarray(fc.color) - np.asarray(fo.color)).max() < 5e-5
+
+
+def test_strip_layout_roundtrip():
+    """Strip-pair records index back to the source grids exactly
+    (both orientations, kernels/packing._build_strips contract)."""
+    import jax.numpy as jnp
+
+    from hmrt_tpu.kernels.packing import _build_strips, strip_count
+
+    rng = np.random.default_rng(0)
+    m = 256
+    grids = [jnp.asarray(rng.standard_normal((m, m)).astype(np.float32))
+             for _ in range(4)]
+    S = np.asarray(_build_strips(grids, m))
+    ns = strip_count(m)
+    assert S.shape == (2 * ns, 8, 128)
+    xs = rng.integers(0, m, 200)
+    ys = rng.integers(0, m, 200)
+    chs = rng.integers(0, 4, 200)
+    for x, y, ch in zip(xs, ys, chs):
+        g = np.asarray(grids[ch])[y, x]
+        assert S[(x >> 7) * (m >> 1) + (y >> 1), (y & 1) * 4 + ch,
+                 x & 127] == g
+        assert S[ns + (y >> 7) * (m >> 1) + (x >> 1), (x & 1) * 4 + ch,
+                 y & 127] == g
+
+
 def test_compact_odd_resolution(scene128c):
     scene, terr = scene128c
     fc = render_frame_compact(scene, scene.packed, _cam(terr),

@@ -92,12 +92,19 @@ def main():
         work = np.asarray(dbg[0], np.int64)
         n0 = np.asarray(dbg[1], np.int64)
         nit = np.asarray(dbg[2], np.int64).reshape(-1, C.LANES)[:, 0]
+        nskip = np.asarray(dbg[3], np.int64).sum()
+        ntest = np.asarray(dbg[4], np.int64).sum()
+        nal = np.asarray(dbg[5], np.int64).sum()
         blk_iters = int(nit.sum())
         dens = work.sum() / max(1024 * blk_iters, 1)
+        w0 = max(n0.sum(), 1)
         print(f"{tag}: {ms:7.1f} ms  alive_out={alive:8d}  "
               f"lane_steps={work.sum()/1e6:8.1f}M  "
               f"lvl0={100.0*n0.sum()/max(work.sum(),1):5.1f}%  "
-              f"blk_iters={blk_iters:8d}  density={100*dens:5.1f}%",
+              f"skip0={100.0*nskip/w0:5.1f}%  test0={100.0*ntest/w0:5.1f}%  "
+              f"blk_iters={blk_iters:8d}  density={100*dens:5.1f}%  "
+              f"served/alive={100.0*work.sum()/max(nal,1):5.1f}%  "
+              f"alive/block={100.0*nal/max(1024*blk_iters,1):5.1f}%",
               flush=True)
 
     budgets = [fb] + [rb] * (rounds - 1) + [1 << 22]

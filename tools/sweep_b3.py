@@ -37,6 +37,11 @@ def main():
     n = args.map
     terr = procedural_terrain(n, seed=3)
     scene = make_scene(terr)
+    if any(len(s.split(",")) > 5 and s.split(",")[5] == "1"
+           for s in args.schedules.split()):
+        from hmrt_tpu.kernels.packing import pack_scene
+        scene = dataclasses.replace(scene,
+                                    packed=pack_scene(scene, strips=True))
     zmax = float(terr.max())
     cam0 = Camera.create(eye=(n * 0.5, -n * 0.25, zmax + n * 0.06),
                          target=(n * 0.5, n * 0.5, float(terr.mean())),
@@ -44,13 +49,17 @@ def main():
 
     def run(sched, salt):
         fb, r, rb, nc = sched[:4]
+        l0 = bool(sched[4]) if len(sched) > 4 else True
+        strip = bool(sched[5]) if len(sched) > 5 else False
+        conds = bool(sched[6]) if len(sched) > 6 else False
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
         if isinstance(nc, tuple) and len(nc) == 1:
             nc = nc[0]
         fr = render_frame_compact(scene, scene.packed, cam, cfg,
                                   first_budget=fb, rounds=r,
-                                  round_budget=rb, n_col=nc)
+                                  round_budget=rb, n_col=nc, l0_tail=l0,
+                                  strip_tail=strip, l0_conds=conds)
         return float(jnp.sum(fr.color[::16, ::16]))
 
     for stxt in args.schedules.split():
