@@ -61,10 +61,12 @@ def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
     the per-ray pipeline is the same jitted math, only the raygen index
     range differs per shard.
 
-    use_pallas: None = auto (fused tile kernel when the scene is packed
-    and a TPU backend is present, else the oracle inside shard_map);
-    True forces the kernel band path (interpret mode off-TPU — this is
-    how CI pixel-checks the row0-shifted raygen on the virtual CPU mesh).
+    use_pallas: None = auto (per-chip kernel when the scene is packed and
+    a TPU backend is present — the compact backend for maps >= 2048^2,
+    the fused tile kernel below, mirroring the single-chip dispatch —
+    else the oracle inside shard_map); True forces a kernel band path
+    (interpret mode off-TPU — this is how CI pixel-checks the
+    row0-shifted raygen on the virtual CPU mesh).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -75,16 +77,54 @@ def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
     if use_pallas is None:
         use_pallas = (config.backend != "oracle" and scene.packed is not None
                       and jax.default_backend() == "tpu")
+    use_compact = (use_pallas and scene.packed is not None
+                   and (config.backend == "compact"
+                        or (config.backend == "auto" and scene.m >= 2048)))
     return _render_sharded_jit(scene, camera, config, mesh,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas,
+                               use_compact=use_compact)
 
 
-@partial(jax.jit, static_argnames=("config", "mesh", "use_pallas"))
+@partial(jax.jit, static_argnames=("config", "mesh", "use_pallas",
+                                   "use_compact"))
 def _render_sharded_jit(scene: Scene, camera: Camera, config: RenderConfig,
-                        mesh: Mesh, use_pallas: bool = False) -> Frame:
+                        mesh: Mesh, use_pallas: bool = False,
+                        use_compact: bool = False) -> Frame:
     H, W = config.height, config.width
     ndev = mesh.devices.size
     band = H // ndev
+
+    if use_compact:
+        # compact backend per chip: the sort + march passes + shade are
+        # shard-local ops (argsort/pallas on the band's rays only), so
+        # shard_map composes directly; only raygen needs the row0 shift.
+        from hmrt_tpu.kernels.compact import render_frame_compact
+        band_cfg = dataclasses.replace(config, height=band)
+        interpret = jax.default_backend() != "tpu"
+
+        def render_band_c(scene_rep, cam):
+            row0 = jax.lax.axis_index("tiles") * band
+            fr = render_frame_compact(scene_rep, scene_rep.packed, cam,
+                                      band_cfg,
+                                      row0=row0.astype(jnp.float32),
+                                      full_height=H, interpret=interpret)
+            out = (fr.color,
+                   fr.depth if fr.depth is not None
+                   else jnp.zeros((band, W), jnp.float32),
+                   fr.normal if fr.normal is not None
+                   else jnp.zeros((band, W, 3), jnp.float32),
+                   fr.hit)
+            return jax.tree.map(
+                lambda x: jax.lax.all_gather(x, "tiles", axis=0, tiled=True),
+                out)
+
+        fn = shard_map(render_band_c, mesh=mesh, in_specs=(P(), P()),
+                       out_specs=P(), check_vma=False)
+        color, depth, normal, hit = fn(scene, camera)
+        return Frame(color=color,
+                     depth=depth if config.aux_buffers else None,
+                     normal=normal if config.aux_buffers else None,
+                     hit=hit)
 
     if use_pallas:
         # each chip runs the fused tile kernel on its row band, with raygen

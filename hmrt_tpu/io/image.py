@@ -102,12 +102,17 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def read_png(path: str) -> np.ndarray:
-    """Read PNG -> (H, W, C) uint8/uint16 (8/16-bit, gray/RGB/RGBA, no palette/interlace)."""
+    """Read PNG -> (H, W, C) uint8/uint16.
+
+    Supports 8/16-bit gray/gray+alpha/RGB/RGBA and palette (PLTE) images
+    at bit depth 1/2/4/8 (palette expands to RGB, or RGBA when a tRNS
+    chunk is present). Interlacing is not supported.
+    """
     with open(path, "rb") as f:
         data = f.read()
     if data[:8] != _PNG_SIG:
         raise ValueError(f"{path}: not a PNG")
-    pos, idat, ihdr = 8, b"", None
+    pos, idat, ihdr, plte, trns = 8, b"", None, None, None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos: pos + 4])
         tag = data[pos + 4: pos + 8]
@@ -115,6 +120,10 @@ def read_png(path: str) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -122,13 +131,19 @@ def read_png(path: str) -> np.ndarray:
     w, h, depth, color_type, _, _, interlace = ihdr
     if interlace:
         raise ValueError("interlaced PNG not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    paletted = color_type == 3
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
-    if depth not in (8, 16):
+    if paletted:
+        if plte is None or len(plte) % 3:
+            raise ValueError(f"{path}: paletted PNG without a valid PLTE")
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"unsupported palette bit depth {depth}")
+    elif depth not in (8, 16):
         raise ValueError(f"unsupported PNG bit depth {depth}")
-    bpp = channels * depth // 8
-    stride = w * bpp
+    bpp = max(channels * depth // 8, 1)
+    stride = (w * channels * depth + 7) // 8
     raw = np.frombuffer(zlib.decompress(idat), np.uint8)
     # untrusted input gate: the scanline buffer must be exactly
     # h * (1 filter byte + stride) long, or the (native C++) unfilter
@@ -144,6 +159,25 @@ def read_png(path: str) -> np.ndarray:
     flat = _native.png_unfilter(raw, h, stride, bpp)
     if flat is None:
         flat = _unfilter(raw, h, stride, bpp)
+    if paletted:
+        rows = flat.reshape(h, stride)
+        if depth < 8:
+            bits = np.unpackbits(rows, axis=1)
+            per = 8 // depth
+            idx = bits.reshape(h, stride * per, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (idx * weights).sum(axis=2).astype(np.uint8)[:, :w]
+        else:
+            idx = rows[:, :w]
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        if idx.max() >= pal.shape[0]:
+            raise ValueError(f"{path}: palette index out of range")
+        img = pal[idx]                       # (H, W, 3)
+        if trns is not None:
+            alpha = np.full(pal.shape[0], 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            img = np.concatenate([img, alpha[idx][..., None]], axis=2)
+        return img
     if depth == 16:
         img = flat.reshape(h, w, channels, 2)
         img = (img[..., 0].astype(np.uint16) << 8) | img[..., 1]

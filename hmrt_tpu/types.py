@@ -65,18 +65,27 @@ class Camera:
         u = jnp.cross(r, f)
         return r, u, f
 
-    def rays(self, height: int, width: int):
+    def rays(self, height: int, width: int, row0=None,
+             full_height: int | None = None):
         """Primary rays for every pixel: origins (3,), dirs (H, W, 3).
 
         Reference: per-pixel ray gen inside the CUDA kernel (SURVEY.md C9).
         Here it is pure jnp so the same math is reused by the oracle renderer
         and (re-derived per-tile via broadcasted_iota) by the Pallas kernel.
+
+        row0/full_height: generate only rows [row0, row0+height) of a
+        full_height-row screen — the multi-chip row-band path (C27); row0
+        may be a traced scalar (per-shard axis_index).
         """
         r, u, f = self.basis()
         tan_half = jnp.tan(self.fov_y * 0.5)
-        aspect = width / height
+        fh = height if full_height is None else full_height
+        aspect = width / fh
         jj = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-        ii = 1.0 - (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0
+        rr = jnp.arange(height, dtype=jnp.float32)
+        if row0 is not None:
+            rr = rr + row0
+        ii = 1.0 - (rr + 0.5) / fh * 2.0
         dx = jj * tan_half * aspect      # (W,)
         dy = ii * tan_half               # (H,)
         d = (f[None, None, :]

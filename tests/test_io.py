@@ -33,6 +33,61 @@ def test_png_float_clipping(tmp_path):
     np.testing.assert_array_equal(back[0, 0], [255, 0, 128])
 
 
+def _write_palette_png(path, idx, pal, depth, trns=None):
+    """Minimal PLTE PNG writer (test fixture; filter 0 rows)."""
+    import struct
+    import zlib
+
+    h, w = idx.shape
+
+    def chunk(tag, body):
+        c = struct.pack(">I", len(body)) + tag + body
+        return c + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+
+    if depth == 8:
+        rows = idx.astype(np.uint8)
+    else:
+        per = 8 // depth
+        pad = (-w) % per
+        p = np.pad(idx, ((0, 0), (0, pad))).astype(np.uint8)
+        bits = ((p[..., None] >> np.arange(depth - 1, -1, -1)) & 1)
+        rows = np.packbits(bits.reshape(h, -1), axis=1)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0))
+    out += chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    out += chunk(b"IDAT", zlib.compress(raw))
+    out += chunk(b"IEND", b"")
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_palette(tmp_path, depth):
+    rng = np.random.default_rng(depth)
+    ncol = 1 << depth
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, (5, 7), dtype=np.uint8)
+    p = str(tmp_path / "pal.png")
+    _write_palette_png(p, idx, pal, depth)
+    back = im.read_png(p)
+    assert back.shape == (5, 7, 3)
+    np.testing.assert_array_equal(back, pal[idx])
+
+
+def test_png_palette_trns(tmp_path):
+    pal = np.array([[255, 0, 0], [0, 255, 0]], np.uint8)
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    p = str(tmp_path / "pal_a.png")
+    _write_palette_png(p, idx, pal, 8, trns=[128])
+    back = im.read_png(p)
+    assert back.shape == (2, 2, 4)
+    np.testing.assert_array_equal(back[..., 3],
+                                  np.where(idx == 0, 128, 255))
+
+
 def test_load_npy(tmp_path):
     h = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
     p = str(tmp_path / "h.npy")

@@ -68,6 +68,27 @@ def test_sharded_pallas_band_path(scene64, camera64):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_compact_band_path(scene64, camera64):
+    """The compact-backend band path (per-shard sort + march passes,
+    row0-shifted raygen) is pixel-checked against the single-device
+    compact render on the virtual CPU mesh (C27 at the production
+    backend)."""
+    ndev = len(jax.devices())
+    mesh = make_mesh()
+    sc = replicate_scene(scene64, mesh)
+    H = 4 * ndev
+    cfg = RenderConfig(width=64, height=H, shading="phong", shadows=True,
+                       backend="compact")
+    fr_s = render_frame_sharded(sc, camera64, cfg, mesh, use_pallas=True)
+    from hmrt_tpu.kernels.compact import render_frame_compact
+    fr_1 = render_frame_compact(scene64, scene64.packed, camera64, cfg,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(fr_s.hit), np.asarray(fr_1.hit))
+    np.testing.assert_allclose(np.asarray(fr_s.color),
+                               np.asarray(fr_1.color), atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_uneven_height_raises(scene64, camera64):
     mesh = make_mesh()
     with pytest.raises(ValueError):
