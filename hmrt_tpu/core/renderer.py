@@ -36,9 +36,10 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig) -> Frame:
       "oracle": the pure-XLA wavefront pipeline below — the fidelity spec,
                 runs on any backend, and the fallback for scenes too small
                 to brick;
-      "auto":   compact for maps >= 2048^2, else the fused kernel, when
-                the scene is packed and a TPU is present (B3 measured:
-                fused 4.43 s vs compact 2.65 s; 1024^2 HD: fused wins).
+      "auto":   compact for maps >= 1024^2, else the fused kernel, when
+                the scene is packed and a TPU is present (measured: B3
+                fused 4.43 s vs compact 2.6 s; B2 1024^2 fused 326 ms vs
+                compact 286 ms with the tuned schedule + l0 tail).
     """
     interpret = jax.default_backend() != "tpu"
     if config.backend in ("pallas", "compact") and scene.packed is None:
@@ -52,7 +53,7 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig) -> Frame:
     use_compact = (config.backend == "compact"
                    or (config.backend == "auto"
                        and scene.packed is not None
-                       and scene.m >= 2048
+                       and scene.m >= 1024
                        and jax.default_backend() == "tpu"))
     if use_compact:
         from hmrt_tpu.kernels.compact import render_frame_compact

@@ -62,7 +62,7 @@ def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
     range differs per shard.
 
     use_pallas: None = auto (per-chip kernel when the scene is packed and
-    a TPU backend is present — the compact backend for maps >= 2048^2,
+    a TPU backend is present — the compact backend for maps >= 1024^2,
     the fused tile kernel below, mirroring the single-chip dispatch —
     else the oracle inside shard_map); True forces a kernel band path
     (interpret mode off-TPU — this is how CI pixel-checks the
@@ -79,7 +79,7 @@ def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
                       and jax.default_backend() == "tpu")
     use_compact = (use_pallas and scene.packed is not None
                    and (config.backend == "compact"
-                        or (config.backend == "auto" and scene.m >= 2048)))
+                        or (config.backend == "auto" and scene.m >= 1024)))
     return _render_sharded_jit(scene, camera, config, mesh,
                                use_pallas=use_pallas,
                                use_compact=use_compact)

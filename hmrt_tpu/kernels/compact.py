@@ -610,7 +610,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
     state_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
     res_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
 
-    def full_march(rays, state):
+    def full_march(rays, state, skip_pass0=False, rounds_n=None):
         """Budgeted march passes with PERIODIC COMPACTION (BASELINE.json:5):
         before every round survivors are argsort'ed by their current
         terrain column — state+results ride in a (P, 15) f32 row matrix so
@@ -620,17 +620,26 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
         python-unrolled: wrapping pallas_call in lax.while_loop/scan
         miscompiled on real hardware (BENCH_NOTES.md platform hazards).
         The last round is effectively unbudgeted, guaranteeing completion
-        (the march makes integer progress every iteration)."""
+        (the march makes integer progress every iteration).
+
+        skip_pass0/rounds_n: the shadow march starts at level 0 in the
+        primary hit cell, so the screen-order pass (coarse phase +
+        budget-0 demand loop) would be a no-op sweep over every block —
+        skip it; and shadows converge in ~1 sorted round (BENCH_NOTES),
+        so fewer rounds skip an argsort too."""
+        n_rounds = rounds if rounds_n is None else rounds_n
         P = rays[0].shape[0]
         res = (jnp.zeros(P, jnp.int32), jnp.full(P, BIG_T, jnp.float32),
                jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32))
         # pass 0: screen/launch order, small budget (sky + near hits
         # resolve; survivors carry their column position into the sort)
-        state, res = march_pass(coarse, columns, rays, state, res,
-                                budget=first_budget, n_col=ncols[0], **mkw)
+        if not skip_pass0:
+            state, res = march_pass(coarse, columns, rays, state, res,
+                                    budget=first_budget, n_col=ncols[0],
+                                    **mkw)
         perm_tot = None
-        for r in range(rounds):
-            last = r == rounds - 1
+        for r in range(n_rounds):
+            last = r == n_rounds - 1
             tail = last and l0_tail
             if tail:
                 # force level 0 BEFORE the sort so the sort key is the
@@ -653,7 +662,8 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                                     rays, state, res,
                                     budget=(1 << 22) if last
                                     else round_budget,
-                                    n_col=ncols[r + 1],
+                                    n_col=ncols[-1] if last
+                                    else ncols[r + 1],
                                     l0_only=tail,
                                     strip_serve=tail and has_strips,
                                     l0_conds=l0_conds, **mkw)
@@ -703,7 +713,8 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
         sstate = _init_state(*srays, hit, gmax, n=n, levels=levels,
                              clip=config.clip_box, m=m,
                              start_cell=(hx, hy))
-        shit, _, _, _ = full_march(srays, sstate)
+        shit, _, _, _ = full_march(srays, sstate, skip_pass0=True,
+                                   rounds_n=min(rounds, 2))
         occ = shit
         diff = jnp.where(occ, 0.0, diff)
 
