@@ -756,7 +756,7 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          config: RenderConfig, interpret: bool = False,
                          first_budget: int = 0, rounds: int = 2,
                          round_budget: int = 512, n_col: int = 4,
-                         l0_tail: bool = True,
+                         l0_tail: bool = False,
                          strip_tail: bool = False,
                          l0_conds: bool = False, row0=None,
                          full_height: int | None = None) -> Frame:

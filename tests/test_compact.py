@@ -81,7 +81,22 @@ def test_compact_strip_tail(scene128c):
     cam = _cam(terr)
     cfg = RenderConfig(width=128, height=32, shading="phong")
     fc = render_frame_compact(scene, packed, cam, cfg,
-                              interpret=INTERPRET, strip_tail=True)
+                              interpret=INTERPRET, l0_tail=True,
+                              strip_tail=True)
+    fo = render_frame_oracle(scene, cam, cfg)
+    np.testing.assert_array_equal(np.asarray(fc.hit), np.asarray(fo.hit))
+    assert np.abs(np.asarray(fc.color) - np.asarray(fo.color)).max() < 5e-5
+
+
+def test_compact_l0_tail(scene128c):
+    """The optional forced-level-0 tail (l0_tail=True; off by default —
+    it wins ~1.5% on grazing-tail workloads like B3 but costs 2.2x on
+    downward orbit views like B4, BENCH_NOTES.md) stays exact."""
+    scene, terr = scene128c
+    cam = _cam(terr)
+    cfg = RenderConfig(width=128, height=32, shading="phong")
+    fc = render_frame_compact(scene, scene.packed, cam, cfg,
+                              interpret=INTERPRET, l0_tail=True)
     fo = render_frame_oracle(scene, cam, cfg)
     np.testing.assert_array_equal(np.asarray(fc.hit), np.asarray(fo.hit))
     assert np.abs(np.asarray(fc.color) - np.asarray(fo.color)).max() < 5e-5
