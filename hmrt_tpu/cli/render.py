@@ -55,7 +55,7 @@ def build_parser():
                         "by depth — for maps too large for device memory. "
                         "A .raw/.r32 file is mmap'd and never fully loaded "
                         "(heights are used as-is, no normalization). "
-                        "Incompatible with --shadows/--sharded/--flythrough.")
+                        "Incompatible with --sharded/--flythrough.")
     return p
 
 
@@ -122,8 +122,8 @@ def main(argv=None):
 
     t0 = time.time()
     if args.tile:
-        if args.shadows or args.sharded:
-            print("--tile is incompatible with --shadows/--sharded",
+        if args.sharded:
+            print("--tile is incompatible with --sharded",
                   file=sys.stderr)
             return 2
         from hmrt_tpu.api.tiled import render_frame_tiled

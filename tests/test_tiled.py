@@ -66,8 +66,36 @@ def test_tiled_from_rawmap(tmp_path):
                                np.asarray(mono.color), atol=2e-4)
 
 
-def test_tiled_shadows_raise():
-    h = procedural_terrain(65, seed=3)
-    with pytest.raises(ValueError):
-        render_frame_tiled(h, _cam(h),
-                           RenderConfig(width=8, height=8, shadows=True))
+def test_tiled_shadows_match_monolithic():
+    """Shadowed out-of-core: the union of per-tile clipped shadow marches
+    + global reshade equals the resident shadowed render (occlusion is
+    compared via the color planes: any occlusion flip shows up at full
+    sun-term magnitude, far above the 2e-4 float tolerance)."""
+    side, tile = 129, 64
+    h = procedural_terrain(side, seed=7)
+    cam = _cam(h)
+    cfg = RenderConfig(width=48, height=32, shading="phong", shadows=True,
+                       fog=True, aux_buffers=True)
+    mono = render_frame(make_scene(h), cam, cfg)
+    tiled = render_frame_tiled(h, cam, cfg, tile=tile)
+    np.testing.assert_array_equal(np.asarray(tiled.hit), np.asarray(mono.hit))
+    np.testing.assert_allclose(np.asarray(tiled.depth),
+                               np.asarray(mono.depth), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(tiled.color),
+                               np.asarray(mono.color), atol=2e-4)
+
+
+def test_tiled_shadows_low_sun_crosses_tiles():
+    """A low sun throws occlusion across tile boundaries — the case a
+    naive per-tile shadow march would get wrong."""
+    from hmrt_tpu.types import Light
+
+    side, tile = 129, 64
+    h = procedural_terrain(side, seed=11)
+    light = Light.create(sun_dir=(0.9, 0.1, 0.25))
+    cam = _cam(h)
+    cfg = RenderConfig(width=40, height=28, shadows=True)
+    mono = render_frame(make_scene(h, light=light), cam, cfg)
+    tiled = render_frame_tiled(h, cam, cfg, tile=tile, light=light)
+    np.testing.assert_allclose(np.asarray(tiled.color),
+                               np.asarray(mono.color), atol=2e-4)
