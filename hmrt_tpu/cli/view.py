@@ -54,14 +54,20 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="hmrt-view",
                                 description="flythrough .npy -> HTML player")
     p.add_argument("stack", help=".npy flythrough stack (F, H, W, 3)")
-    p.add_argument("-o", "--output", default=None)
+    p.add_argument("-o", "--output", default=None,
+                   help=".html player (default) or .apng animated PNG")
+    p.add_argument("--fps", type=float, default=24.0)
     args = p.parse_args(argv)
 
-    from hmrt_tpu.io.image import write_png
+    from hmrt_tpu.io.image import write_apng, write_png
 
     stack = np.load(args.stack)
     if stack.ndim != 4 or stack.shape[-1] != 3:
         raise SystemExit(f"expected (F, H, W, 3) stack, got {stack.shape}")
+    if args.output and args.output.endswith(".apng"):
+        write_apng(args.output, stack, fps=args.fps)
+        print(f"wrote {args.output} ({stack.shape[0]} frames, APNG)")
+        return 0
     encoded = []
     for f in stack:
         buf = _io.BytesIO()

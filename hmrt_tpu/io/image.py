@@ -49,6 +49,44 @@ def write_png(path: str, img: np.ndarray) -> None:
         f.write(encode_png(img))
 
 
+def write_apng(path: str, frames: np.ndarray, fps: float = 24.0) -> None:
+    """Write an (F, H, W, 3) stack as an animated PNG (APNG, loops forever).
+
+    Single-file animation export for flythrough stacks (SURVEY.md C8/L4):
+    APNG is plain PNG chunks (acTL/fcTL/fdAT), so this stays stdlib-only
+    and every browser plays it with a bare <img> tag.
+    """
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"want (F, H, W, 3), got {frames.shape}")
+    if frames.dtype != np.uint8:
+        frames = (np.clip(frames, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    nf, h, w = frames.shape[:3]
+    delay_den = max(int(round(fps)), 1)
+    seq = 0
+
+    def fctl(seq, w, h):
+        return _chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, 1, delay_den, 0, 0))
+
+    out = [_PNG_SIG,
+           _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)),
+           _chunk(b"acTL", struct.pack(">II", nf, 0))]
+    for fi in range(nf):
+        raw = b"".join(b"\x00" + frames[fi, y].tobytes() for y in range(h))
+        data = zlib.compress(raw, 6)
+        out.append(fctl(seq, w, h))
+        seq += 1
+        if fi == 0:
+            out.append(_chunk(b"IDAT", data))
+        else:
+            out.append(_chunk(b"fdAT", struct.pack(">I", seq) + data))
+            seq += 1
+    out.append(_chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(b"".join(out))
+
+
 def write_png16(path: str, img: np.ndarray) -> None:
     """Write (H, W) float [0,1] or uint16 grayscale as 16-bit PNG
     (lossless heightmap export)."""

@@ -88,6 +88,44 @@ def test_png_palette_trns(tmp_path):
                                   np.where(idx == 0, 128, 255))
 
 
+def test_apng_roundtrip(tmp_path):
+    """APNG structure + per-frame pixel fidelity: walk the chunk stream,
+    reassemble each frame as a standalone PNG, and decode it back."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (3, 6, 9, 3), dtype=np.uint8)
+    p = str(tmp_path / "anim.apng")
+    im.write_apng(p, frames, fps=10)
+    data = open(p, "rb").read()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, []
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        chunks.append((tag, data[pos + 8:pos + 8 + ln]))
+        pos += 12 + ln
+    tags = [t for t, _ in chunks]
+    assert tags.count(b"fcTL") == 3 and tags.count(b"fdAT") == 2
+    actl = dict(chunks)[b"acTL"]
+    assert struct.unpack(">II", actl) == (3, 0)
+    ihdr = dict(chunks)[b"IHDR"]
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    datas = [b for t, b in chunks if t == b"IDAT"] \
+        + [b[4:] for t, b in chunks if t == b"fdAT"]
+    for fi, d in enumerate(datas):
+        single = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                  + chunk(b"IDAT", d) + chunk(b"IEND", b""))
+        sp = str(tmp_path / f"f{fi}.png")
+        open(sp, "wb").write(single)
+        np.testing.assert_array_equal(im.read_png(sp), frames[fi])
+
+
 def test_load_npy(tmp_path):
     h = np.linspace(0, 1, 64, dtype=np.float32).reshape(8, 8)
     p = str(tmp_path / "h.npy")
