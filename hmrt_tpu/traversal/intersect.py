@@ -119,8 +119,10 @@ def intersect_bilinear(ox, oy, oz, dx, dy, dz, cx, cy,
         inside = (u >= -eps) & (u <= 1.0 + eps) & (v >= -eps) & (v <= 1.0 + eps)
         return inside & (t >= t_lo) & (t <= t_hi)
 
-    c1 = jnp.where(is_lin, valid_lin(lin_t), valid(tmin))
-    c2 = jnp.where(is_lin, False, valid(tmax))
+    # logical ops, not jnp.where: Mosaic cannot select i1 vectors
+    # ("Unsupported target bitwidth for truncation" on real hardware)
+    c1 = (is_lin & valid_lin(lin_t)) | (~is_lin & valid(tmin))
+    c2 = ~is_lin & valid(tmax)
     tq = jnp.where(valid(tmin), tmin, jnp.where(valid(tmax), tmax, BIG_T))
     t = jnp.where(is_lin, jnp.where(valid_lin(lin_t), lin_t, BIG_T), tq)
     return c1 | c2, t
