@@ -43,6 +43,7 @@ _PAGE = """<!doctype html>
 <script>
 let st = null;          // {eye:[x,y,z], yaw, pitch, speed}
 let keys = {};
+let ticking = false, lastUrl = null;
 let dragging = false, lastX = 0, lastY = 0;
 let inflight = false, dirty = true, wantFull = false, fullTimer = null;
 const img = document.getElementById('v');
@@ -51,7 +52,7 @@ const hud = document.getElementById('hud');
 async function init() {
   st = await (await fetch('/state')).json();
   requestFrame();
-  setInterval(tick, 50);
+  if (!ticking) { ticking = true; setInterval(tick, 50); }
 }
 function dir() {
   const cp = Math.cos(st.pitch), sp = Math.sin(st.pitch);
@@ -60,7 +61,7 @@ function dir() {
 }
 function tick() {
   const d = dir();
-  const right = [-d[1], d[0], 0];
+  const right = [d[1], -d[0], 0];   // matches Camera.basis r = f x up
   const v = st.speed * (keys['shift'] ? 4 : 1);
   let moved = false;
   const add = (vec, s) => { st.eye[0]+=vec[0]*s; st.eye[1]+=vec[1]*s;
@@ -85,7 +86,9 @@ async function requestFrame() {
       body: JSON.stringify({eye:st.eye, yaw:st.yaw, pitch:st.pitch,
                             draft:draft})});
     const blob = await r.blob();
-    img.src = URL.createObjectURL(blob);
+    if (lastUrl) URL.revokeObjectURL(lastUrl);
+    lastUrl = URL.createObjectURL(blob);
+    img.src = lastUrl;
     const ms = (performance.now()-t0).toFixed(0);
     hud.textContent = `eye ${st.eye.map(x=>x.toFixed(1))}  ` +
       `yaw ${(st.yaw*180/Math.PI).toFixed(0)}°  ` +

@@ -37,9 +37,9 @@ def render_frame(scene: Scene, camera: Camera, config: RenderConfig) -> Frame:
                 runs on any backend, and the fallback for scenes too small
                 to brick;
       "auto":   compact for maps >= 1024^2, else the fused kernel, when
-                the scene is packed and a TPU is present (measured: B3
-                fused 4.43 s vs compact 2.6 s; B2 1024^2 fused 326 ms vs
-                compact 286 ms with the tuned schedule + l0 tail).
+                the scene is packed and a TPU is present (measured at the
+                shipped defaults: B3 fused 4.43 s vs compact 2.66 s; B2
+                1024^2 fused 328 ms vs compact 304 ms).
     """
     interpret = jax.default_backend() != "tpu"
     if config.backend in ("pallas", "compact") and scene.packed is None:

@@ -580,7 +580,7 @@ def _unpack_rows(rows, dtypes):
 def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                         albedo_b, gmax, *, config: RenderConfig, n, m,
                         levels, m5, l32, interpret, first_budget=96,
-                        rounds=3, round_budget=256, n_col=2, l0_tail=True,
+                        rounds=3, round_budget=256, n_col=2, l0_tail=False,
                         has_strips=False, l0_conds=False, row0=None,
                         full_height=None):
     H, W = config.height, config.width

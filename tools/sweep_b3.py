@@ -49,7 +49,7 @@ def main():
 
     def run(sched, salt):
         fb, r, rb, nc = sched[:4]
-        l0 = bool(sched[4]) if len(sched) > 4 else True
+        l0 = bool(sched[4]) if len(sched) > 4 else False
         strip = bool(sched[5]) if len(sched) > 5 else False
         conds = bool(sched[6]) if len(sched) > 6 else False
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
