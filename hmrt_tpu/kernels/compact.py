@@ -71,6 +71,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                        coarse_cap: int, budget: int, inner_cap: int,
                        n_col: int, l0_only: bool = False,
                        strip_serve: bool = False, l0_conds: bool = False,
+                       drain_min: int = 0,
                        debug: bool = False, clip=None):
     (alive_o, t_o, lvl_o, icx_o, icy_o,
      hit_o, thit_o, hx_o, hy_o) = refs[:9]
@@ -207,8 +208,16 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
 
         def i_cond(cc):
             k, st = cc
-            return (k < inner_cap) & jnp.any((st["alive"] != 0)
-                                             & in_set(st))
+            act = (st["alive"] != 0) & in_set(st)
+            if drain_min == 0:
+                return (k < inner_cap) & jnp.any(act)
+            # drain threshold: leave a set once it thins below drain_min
+            # lanes so the next selection serves a dense fresh set; the
+            # k == 0 escape keeps progress guaranteed when fewer than
+            # drain_min lanes remain alive in the whole block.
+            n_act = jnp.sum(act.astype(jnp.int32))
+            return ((k < inner_cap) & (n_act > 0)
+                    & ((k == 0) | (n_act >= drain_min)))
 
         def i_body(cc):
             k, st = cc
@@ -338,11 +347,12 @@ def _plane_specs(k):
                    static_argnames=("n", "m", "levels", "m5", "l32",
                                     "cell_intersect", "budget", "n_col",
                                     "l0_only", "strip_serve", "l0_conds",
-                                    "interpret", "debug", "clip"))
+                                    "drain_min", "interpret", "debug",
+                                    "clip"))
 def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
                l32, cell_intersect, budget, n_col=2, l0_only=False,
-               strip_serve=False, l0_conds=False, interpret=False,
-               debug=False, clip=None):
+               strip_serve=False, l0_conds=False, drain_min=0,
+               interpret=False, debug=False, clip=None):
     """One budgeted march sweep over all ray blocks.
 
     rays:    (ox, oy, oz, dx, dy, dz) planes, each f32[P] with P % 1024 == 0
@@ -368,7 +378,7 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
         cell_intersect=cell_intersect,
         coarse_cap=24 * levels + 96, budget=budget, inner_cap=256,
         n_col=n_col, l0_only=l0_only, strip_serve=strip_serve,
-        l0_conds=l0_conds, debug=debug, clip=clip)
+        l0_conds=l0_conds, drain_min=drain_min, debug=debug, clip=clip)
 
     out_dt = ([jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
               + [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
@@ -576,13 +586,13 @@ def _unpack_rows(rows, dtypes):
                                     "l32", "interpret", "first_budget",
                                     "rounds", "round_budget", "n_col",
                                     "l0_tail", "has_strips", "l0_conds",
-                                    "full_height"))
+                                    "drain_min", "full_height"))
 def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                         albedo_b, gmax, *, config: RenderConfig, n, m,
                         levels, m5, l32, interpret, first_budget=96,
                         rounds=3, round_budget=256, n_col=2, l0_tail=False,
-                        has_strips=False, l0_conds=False, row0=None,
-                        full_height=None):
+                        has_strips=False, l0_conds=False, drain_min=0,
+                        row0=None, full_height=None):
     H, W = config.height, config.width
     P = -(-H * W // LANES) * LANES
 
@@ -605,7 +615,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
              else tuple(n_col))
     assert len(ncols) == rounds + 1, (ncols, rounds)
     mkw = dict(n=n, m=m, levels=levels, m5=m5, l32=l32,
-               cell_intersect=config.cell_intersect,
+               cell_intersect=config.cell_intersect, drain_min=drain_min,
                interpret=interpret, clip=config.clip_box)
     state_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
     res_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
@@ -758,7 +768,8 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          round_budget: int = 512, n_col: int = 4,
                          l0_tail: bool = False,
                          strip_tail: bool = False,
-                         l0_conds: bool = False, row0=None,
+                         l0_conds: bool = False, drain_min: int = 0,
+                         row0=None,
                          full_height: int | None = None) -> Frame:
     """Compacted-wavefront render (see module docstring).
 
@@ -784,5 +795,5 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
         m=scene.m, levels=scene.levels, m5=packed.m5, l32=packed.l32,
         interpret=interpret, first_budget=first_budget, rounds=rounds,
         round_budget=round_budget, n_col=n_col, l0_tail=l0_tail,
-        has_strips=has_strips, l0_conds=l0_conds, row0=row0,
-        full_height=full_height)
+        has_strips=has_strips, l0_conds=l0_conds, drain_min=drain_min,
+        row0=row0, full_height=full_height)

@@ -52,6 +52,7 @@ def main():
         l0 = bool(sched[4]) if len(sched) > 4 else False
         strip = bool(sched[5]) if len(sched) > 5 else False
         conds = bool(sched[6]) if len(sched) > 6 else False
+        dmin = int(sched[7]) if len(sched) > 7 else 0
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
         if isinstance(nc, tuple) and len(nc) == 1:
@@ -59,7 +60,8 @@ def main():
         fr = render_frame_compact(scene, scene.packed, cam, cfg,
                                   first_budget=fb, rounds=r,
                                   round_budget=rb, n_col=nc, l0_tail=l0,
-                                  strip_tail=strip, l0_conds=conds)
+                                  strip_tail=strip, l0_conds=conds,
+                                  drain_min=dmin)
         return float(jnp.sum(fr.color[::16, ::16]))
 
     for stxt in args.schedules.split():
