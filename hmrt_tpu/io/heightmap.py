@@ -58,6 +58,9 @@ def load_heightmap(path: str, z_scale: float = None) -> np.ndarray:
         if n * n != len(flat):
             raise ValueError(f"{path}: raw f32 file is not square ({len(flat)} floats)")
         h = flat.reshape(n, n)
+    elif ext in (".tif", ".tiff"):
+        from hmrt_tpu.io.geotiff import read_tiff_gray
+        h = read_tiff_gray(path)
     elif ext == ".asc":
         h = _load_esri_ascii(path)
     elif ext in (".xyz", ".csv", ".txt"):
