@@ -38,6 +38,9 @@ def build_parser():
     p.add_argument("--intersect", choices=["triangle", "bilinear", "flat"],
                    default="triangle")
     p.add_argument("--shading", choices=["lambert", "phong"], default="phong")
+    p.add_argument("--albedo", default=None, metavar="IMAGE",
+                   help="albedo texture image draped over the terrain "
+                        "(C18); resampled to the heightmap resolution")
     p.add_argument("--shadows", action="store_true")
     p.add_argument("--fog", action="store_true")
     p.add_argument("--aux", action="store_true",
@@ -84,13 +87,21 @@ def main(argv=None):
         terr = H.procedural_terrain(args.size, seed=args.seed,
                                     z_scale=args.zscale)
     light = H.Light.create(sun_dir=tuple(args.sun))
+    albedo = None
+    if args.albedo:
+        from hmrt_tpu.io.heightmap import load_texture
+        if terr is None:
+            print("--albedo needs an in-memory heightmap (not --tile on "
+                  "a raw mmap)", file=sys.stderr)
+            return 2
+        albedo = load_texture(args.albedo, terr.shape[0])
     if terr is not None:
         n = terr.shape[0]
         zmax, zmean = float(terr.max()), float(terr.mean())
         if args.tile:
             source = terr
         else:
-            scene = H.make_scene(terr, light=light)
+            scene = H.make_scene(terr, albedo=albedo, light=light)
     eye = tuple(args.eye) if args.eye else (n * 0.5, -n * 0.25, zmax + n * 0.06)
     target = tuple(args.target) if args.target else (n * 0.5, n * 0.5, zmean)
     cam = H.Camera.create(eye=eye, target=target, fov_y_deg=args.fov)
@@ -98,7 +109,8 @@ def main(argv=None):
                          traversal=args.traversal,
                          cell_intersect=args.intersect,
                          shading=args.shading, shadows=args.shadows,
-                         fog=args.fog, aux_buffers=args.aux,
+                         fog=args.fog, texture=albedo is not None,
+                         aux_buffers=args.aux,
                          backend=args.backend)
 
     if args.flythrough:
@@ -128,7 +140,7 @@ def main(argv=None):
             return 2
         from hmrt_tpu.api.tiled import render_frame_tiled
         fr = render_frame_tiled(source, cam, cfg, tile=args.tile,
-                                light=light)
+                                light=light, albedo=albedo)
     elif args.sharded:
         from hmrt_tpu.distrib.mesh import (make_mesh, render_frame_sharded,
                                            replicate_scene)

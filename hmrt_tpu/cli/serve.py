@@ -228,6 +228,8 @@ def build_parser():
                    help="resolution divisor while the camera is moving")
     p.add_argument("--shading", choices=["lambert", "phong"],
                    default="phong")
+    p.add_argument("--albedo", default=None, metavar="IMAGE",
+                   help="albedo texture draped over the terrain")
     p.add_argument("--shadows", action="store_true")
     p.add_argument("--fog", action="store_true")
     p.add_argument("--backend",
@@ -249,10 +251,15 @@ def make_session(args) -> ViewerSession:
         terr = H.procedural_terrain(args.size, seed=args.seed)
     n = terr.shape[0]
     zmax = float(terr.max())
-    scene = H.make_scene(terr)
+    albedo = None
+    if args.albedo:
+        from hmrt_tpu.io.heightmap import load_texture
+        albedo = load_texture(args.albedo, n)
+    scene = H.make_scene(terr, albedo=albedo)
     cfg = H.RenderConfig(width=args.width, height=args.height,
                          shading=args.shading, shadows=args.shadows,
-                         fog=args.fog, backend=args.backend)
+                         fog=args.fog, texture=albedo is not None,
+                         backend=args.backend)
     return ViewerSession(scene, cfg,
                          eye=(n * 0.5, -n * 0.2, zmax + n * 0.05),
                          yaw=math.pi / 2, pitch=-0.2, speed=n / 100.0)

@@ -68,8 +68,63 @@ def load_heightmap(path: str, z_scale: float = None) -> np.ndarray:
         from hmrt_tpu.io.pointcloud import grid_points, load_points
         h = grid_points(load_points(path), n=1024)
     else:
-        raise ValueError(f"unsupported heightmap format: {ext}")
+        h = _load_via_pillow(path, ext)
     return normalize_heights(h, z_scale)
+
+
+def _load_via_pillow(path: str, ext: str) -> np.ndarray:
+    """Fallback for formats without a native reader (JPEG/BMP/TGA/WebP
+    DEMs and textures): Pillow when available, a clear error otherwise."""
+    try:
+        from PIL import Image
+    except ImportError:
+        raise ValueError(
+            f"unsupported heightmap format: {ext} (and Pillow is not "
+            "installed for the generic-image fallback)") from None
+    with Image.open(path) as im:
+        arr = np.asarray(im)
+    if arr.ndim == 3:  # RGB(A) -> luminance
+        arr = (arr[..., 0] * 0.299 + arr[..., 1] * 0.587
+               + arr[..., 2] * 0.114)
+    return np.asarray(arr, np.float32)
+
+
+def load_texture(path: str, n: int | None = None) -> np.ndarray:
+    """Load an albedo texture -> (N, N, 3) float32 in [0, 1] (C18).
+
+    PNG via the in-repo codec, anything else via Pillow. When `n` is
+    given and differs from the image size, the texture is resampled with
+    bilinear interpolation so it can drape any heightmap resolution.
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".png":
+        raw = _image.read_png(path)
+        scale = 65535.0 if raw.dtype == np.uint16 else 255.0
+        img = raw.astype(np.float32) / scale
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        img = img[:, :, :3]
+    else:
+        try:
+            from PIL import Image
+        except ImportError:
+            raise ValueError(
+                f"texture format {ext} needs Pillow (only .png has a "
+                "native reader)") from None
+        with Image.open(path) as im:
+            img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    if n is not None and img.shape[:2] != (n, n):
+        ys = np.linspace(0, img.shape[0] - 1, n, dtype=np.float32)
+        xs = np.linspace(0, img.shape[1] - 1, n, dtype=np.float32)
+        y0 = np.clip(ys.astype(np.int32), 0, img.shape[0] - 2)
+        x0 = np.clip(xs.astype(np.int32), 0, img.shape[1] - 2)
+        fy = (ys - y0)[:, None, None]
+        fx = (xs - x0)[None, :, None]
+        img = (img[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+               + img[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
+               + img[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
+               + img[np.ix_(y0 + 1, x0 + 1)] * fy * fx)
+    return np.ascontiguousarray(img, np.float32)
 
 
 def _load_pgm(path: str) -> np.ndarray:

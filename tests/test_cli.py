@@ -3,6 +3,7 @@ view (HTML + APNG), tiled render — tiny scenes on the oracle/CPU path.
 """
 
 import numpy as np
+import pytest
 
 from hmrt_tpu.cli.render import main as render_main
 from hmrt_tpu.cli.view import main as view_main
@@ -35,6 +36,49 @@ def test_render_cli_tiled(tmp_path):
                       "--tile", "48", "-o", out])
     assert rc == 0
     assert read_png(out).shape == (24, 32, 3)
+
+
+def test_render_cli_albedo(tmp_path):
+    from hmrt_tpu.io.image import write_png
+
+    rng = np.random.default_rng(4)
+    tex = rng.uniform(0.0, 1.0, (40, 40, 3)).astype(np.float32)
+    texp = str(tmp_path / "tex.png")
+    write_png(texp, tex)
+    out = str(tmp_path / "a.png")
+    rc = render_main(["--size", "64", "--width", "32", "--height", "24",
+                      "--albedo", texp, "-o", out])
+    assert rc == 0
+    assert read_png(out).shape == (24, 32, 3)
+
+
+def test_load_texture_resample(tmp_path):
+    from hmrt_tpu.io.heightmap import load_texture
+    from hmrt_tpu.io.image import write_png
+
+    tex = np.zeros((16, 16, 3), np.float32)
+    tex[:, :, 0] = 1.0  # constant red resamples exactly
+    p = str(tmp_path / "t.png")
+    write_png(p, tex)
+    out = load_texture(p, 33)
+    assert out.shape == (33, 33, 3)
+    np.testing.assert_allclose(out[..., 0], 1.0, atol=1e-2)
+    np.testing.assert_allclose(out[..., 1], 0.0, atol=1e-2)
+
+
+def test_load_texture_via_pillow(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    from hmrt_tpu.io.heightmap import load_heightmap, load_texture
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.jpg")
+    PIL.fromarray(img).save(p, quality=95)
+    tex = load_texture(p, 20)
+    assert tex.shape == (20, 20, 3) and 0.0 <= tex.min() <= tex.max() <= 1.0
+    # JPEG heightmap via the generic fallback
+    h = load_heightmap(p)
+    assert h.shape == (20, 20) and h.dtype == np.float32
 
 
 def test_flythrough_and_view_cli(tmp_path):
