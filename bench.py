@@ -1,42 +1,84 @@
 #!/usr/bin/env python
-"""Driver benchmark: one JSON line for the north-star config.
+"""Driver benchmark: JSON rows for all five configs, north-star line last.
 
 North star (BASELINE.json:5): < 16 ms/frame at 1920x1080 over a 4096^2
 heightmap with shadow rays + Phong on a v5e-8. This driver host has ONE
 chip, so the measured number is single-chip ms/frame on the same workload;
 vs_baseline is measured_ms / 16ms (the 8-chip target — a single chip at
 <16 ms beats the baseline outright; >1.0 means slower than target).
+
+Emits one JSON line per config B1..B5 (BASELINE.json:7-11) so every
+config's number is machine-readable each round (VERDICT r2 missing #2),
+with B3's line LAST so a tail-parse still lands on the north-star metric.
+The full row list is also written to BENCH_ALL.json.
 """
 
 import json
 import sys
 
 
-def main():
-    frames = 4
-    scale = 1.0
-    if "--quick" in sys.argv:
-        frames, scale = 2, 0.25
+# (config, frames, reps) — B3 gets the deepest measurement; the others are
+# per-round evidence rows. B4's row carries an explicit resolution caveat:
+# it is benchmarked at 1280x720 (BASELINE.json:10 does not pin B4's
+# resolution; the 1920x1080 in BASELINE.json:2 defines the B3/B5 schema).
+_PLAN = [("B1", 2, 1), ("B2", 3, 2), ("B4", 3, 1), ("B5", 2, 1),
+         ("B3", 4, 2)]
 
+
+def _run(name, frames, reps, scale):
     from hmrt_tpu.bench.runner import run_bench
 
     # the remote-TPU tunnel occasionally drops mid-run; one retry keeps the
     # driver's metric line flowing (observed: compile-server broken pipe,
     # transient worker restarts)
     try:
-        row = run_bench("B3", frames=frames, scale=scale, reps=2)
+        return run_bench(name, frames=frames, scale=scale, reps=reps)
     except Exception as e:
-        sys.stderr.write(f"bench attempt 1 failed ({type(e).__name__}); "
-                         "retrying once\n")
-        row = run_bench("B3", frames=frames, scale=scale, reps=2)
-    out = {
-        "metric": "ms_per_frame_B3_4096sq_1920x1080_shadows_phong_1chip",
-        "value": row["ms_per_frame"],
-        "unit": "ms",
-        "vs_baseline": round(row["ms_per_frame"] / 16.0, 4),
-        "detail": row,
-    }
-    print(json.dumps(out))
+        sys.stderr.write(f"{name} attempt 1 failed ({type(e).__name__}: {e});"
+                         " retrying once\n")
+        return run_bench(name, frames=frames, scale=scale, reps=reps)
+
+
+def main():
+    quick = "--quick" in sys.argv
+    scale = 0.25 if quick else 1.0
+    rows = []
+    b3_line = None
+    for name, frames, reps in _PLAN:
+        if quick:
+            frames, reps = 2, 1
+        try:
+            row = _run(name, frames, reps, scale)
+        except Exception as e:
+            sys.stderr.write(f"{name} FAILED: {type(e).__name__}: {e}\n")
+            if name == "B3":
+                raise  # the driver's metric must not silently vanish
+            continue
+        if name == "B4":
+            row["resolution_note"] = (
+                "B4 measured at 1280x720; BASELINE.json:10 does not pin a "
+                "resolution (1080p would be ~2.2x this ms/frame)")
+        rows.append(row)
+        line = {
+            "metric": f"ms_per_frame_{name}",
+            "value": row["ms_per_frame"],
+            "unit": "ms",
+            "vs_baseline": round(row["ms_per_frame"] / 16.0, 4),
+            "detail": row,
+        }
+        if name == "B3":
+            line["metric"] = ("ms_per_frame_B3_4096sq_1920x1080_shadows_"
+                              "phong_1chip")
+            b3_line = line
+        else:
+            print(json.dumps(line), flush=True)
+    try:
+        with open("BENCH_ALL.json", "w") as f:
+            json.dump(rows, f, indent=1)
+    except OSError:
+        pass
+    if b3_line is not None:
+        print(json.dumps(b3_line), flush=True)
 
 
 if __name__ == "__main__":

@@ -161,6 +161,13 @@ class ViewerSession:
         eye = [float(v) for v in params["eye"]]
         yaw = float(params["yaw"])
         pitch = float(params["pitch"])
+        # server-side validation (the client JS also clamps, but the
+        # endpoint is reachable directly): non-finite state would NaN the
+        # whole frame, and pitch at +-pi/2 makes the view direction
+        # parallel to up so Camera.create's basis cross degenerates.
+        if not all(math.isfinite(v) for v in (*eye, yaw, pitch)):
+            raise ValueError("non-finite camera parameter")
+        pitch = max(-1.55, min(1.55, pitch))
         cp = math.cos(pitch)
         d = (cp * math.cos(yaw), cp * math.sin(yaw), math.sin(pitch))
         target = (eye[0] + d[0], eye[1] + d[1], eye[2] + d[2])

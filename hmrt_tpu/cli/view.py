@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import base64
-import io as _io
 import os
 import sys
 
@@ -59,7 +58,7 @@ def main(argv=None):
     p.add_argument("--fps", type=float, default=24.0)
     args = p.parse_args(argv)
 
-    from hmrt_tpu.io.image import write_apng, write_png
+    from hmrt_tpu.io.image import encode_png, write_apng
 
     stack = np.load(args.stack)
     if stack.ndim != 4 or stack.shape[-1] != 3:
@@ -68,14 +67,8 @@ def main(argv=None):
         write_apng(args.output, stack, fps=args.fps)
         print(f"wrote {args.output} ({stack.shape[0]} frames, APNG)")
         return 0
-    encoded = []
-    for f in stack:
-        buf = _io.BytesIO()
-        tmp = "/tmp/_hmrt_view_frame.png"
-        write_png(tmp, f)
-        with open(tmp, "rb") as fh:
-            encoded.append("'" + base64.b64encode(fh.read()).decode() + "'")
-        os.remove(tmp)
+    encoded = ["'" + base64.b64encode(encode_png(f)).decode() + "'"
+               for f in stack]
     out = args.output or (os.path.splitext(args.stack)[0] + ".html")
     with open(out, "w") as fh:
         fh.write(_HTML.format(n=len(encoded), nm1=len(encoded) - 1,

@@ -11,7 +11,9 @@ profile with the stdlib only — no GDAL/rasterio dependency:
     (SampleFormat 1/2/3);
   * strips (StripOffsets/StripByteCounts) or tiles (TileWidth/...);
   * Compression 1 (none), 8/32946 (deflate), 5 (LZW), 32773 (PackBits);
-  * Predictor 1 (none) or 2 (horizontal differencing).
+  * Predictor 1 (none), 2 (horizontal differencing) or 3 (floating-point
+    horizontal differencing — GDAL's recommended setting for f32+deflate
+    DEMs); any other predictor raises instead of decoding garbage.
 
 Geo* tags (ModelPixelScale etc.) are ignored — the renderer works in
 grid units; callers rescale via load_heightmap's z_scale.
@@ -117,12 +119,46 @@ def _read_ifd(data, bo, big, off):
         nbytes = _TYPE_SIZE[typ] * cnt
         if nbytes > (8 if big else 4):
             (dataoff,) = struct.unpack_from(bo + cfmt, data, voff)
+            if dataoff + nbytes > len(data):
+                raise ValueError(
+                    f"truncated TIFF: tag {tag} data at {dataoff}+{nbytes} "
+                    f"exceeds file size {len(data)}")
             raw = data[dataoff:dataoff + nbytes]
         else:
             raw = data[voff:voff + nbytes]
         tags[tag] = list(struct.unpack(bo + fmt * cnt, raw[:nbytes]))
         pos += esz
     return tags
+
+
+def _unpredict(raw: bytes, pred: int, nrows: int, w: int,
+               dt: np.dtype) -> np.ndarray:
+    """Undo the TIFF predictor on one strip/tile's decompressed bytes and
+    return the (nrows, w) sample array. Predictors per TIFF 6.0 + TechNote:
+    1 = none, 2 = horizontal differencing of samples, 3 = floating-point
+    horizontal differencing (rows stored as big-endian byte PLANES, MSB
+    plane first, then byte-wise differenced)."""
+    need = nrows * w * dt.itemsize
+    if len(raw) < need:
+        raise ValueError(f"truncated TIFF strip/tile: {len(raw)} bytes "
+                         f"decoded, {need} expected")
+    if pred == 1:
+        return np.frombuffer(raw, dt, count=nrows * w).reshape(nrows, w)
+    if pred == 2:
+        arr = np.frombuffer(raw, dt, count=nrows * w).reshape(nrows, w)
+        u = np.dtype(f"{dt.byteorder}u{dt.itemsize}")
+        return np.cumsum(arr.view(u), axis=1,
+                         dtype=np.uint64).astype(u).view(dt)
+    if pred == 3:
+        if dt.kind != "f":
+            raise ValueError("TIFF predictor 3 on non-float samples")
+        bps = dt.itemsize
+        b = np.frombuffer(raw, np.uint8, count=need).reshape(nrows, bps * w)
+        b = np.cumsum(b, axis=1, dtype=np.uint32).astype(np.uint8)
+        msb_planes = b.reshape(nrows, bps, w).transpose(0, 2, 1)
+        return np.ascontiguousarray(msb_planes).view(
+            np.dtype(f">f{bps}"))[:, :, 0]
+    raise ValueError(f"unsupported TIFF predictor {pred}")
 
 
 def read_tiff_gray(path: str) -> np.ndarray:
@@ -167,13 +203,11 @@ def read_tiff_gray(path: str) -> np.ndarray:
         offs, cnts = t[_TOFF], t[_TCNT]
         per_row = (w + tw - 1) // tw
         for i, (o, c) in enumerate(zip(offs, cnts)):
+            if o + c > len(data):
+                raise ValueError(f"{path}: truncated TIFF (tile {i} at "
+                                 f"{o}+{c} exceeds file size {len(data)})")
             raw = _decompress(data[o:o + c], comp)
-            tilearr = np.frombuffer(raw, dt, count=tw * th).reshape(th, tw)
-            if pred == 2:
-                tilearr = np.cumsum(
-                    tilearr.view(np.dtype(f"{bo}u{bits // 8}")),
-                    axis=1, dtype=np.uint64).astype(
-                    np.dtype(f"{bo}u{bits // 8}")).view(dt)
+            tilearr = _unpredict(raw, pred, th, tw, dt)
             ty, tx = (i // per_row) * th, (i % per_row) * tw
             ys, xs = min(th, h - ty), min(tw, w - tx)
             img[ty:ty + ys, tx:tx + xs] = tilearr[:ys, :xs]
@@ -183,13 +217,10 @@ def read_tiff_gray(path: str) -> np.ndarray:
         y = 0
         for o, c in zip(offs, cnts):
             nrows = min(rows, h - y)
+            if o + c > len(data):
+                raise ValueError(f"{path}: truncated TIFF (strip at "
+                                 f"{o}+{c} exceeds file size {len(data)})")
             raw = _decompress(data[o:o + c], comp)
-            arr = np.frombuffer(raw, dt, count=nrows * w).reshape(nrows, w)
-            if pred == 2:
-                arr = np.cumsum(
-                    arr.view(np.dtype(f"{bo}u{bits // 8}")),
-                    axis=1, dtype=np.uint64).astype(
-                    np.dtype(f"{bo}u{bits // 8}")).view(dt)
-            img[y:y + nrows] = arr
+            img[y:y + nrows] = _unpredict(raw, pred, nrows, w, dt)
             y += nrows
     return img.astype(img.dtype.newbyteorder("="))

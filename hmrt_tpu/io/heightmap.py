@@ -101,8 +101,8 @@ def load_texture(path: str, n: int | None = None) -> np.ndarray:
         raw = _image.read_png(path)
         scale = 65535.0 if raw.dtype == np.uint16 else 255.0
         img = raw.astype(np.float32) / scale
-        if img.shape[2] == 1:
-            img = np.repeat(img, 3, axis=2)
+        if img.shape[2] in (1, 2):  # gray / gray+alpha -> RGB (drop alpha)
+            img = np.repeat(img[:, :, :1], 3, axis=2)
         img = img[:, :, :3]
     else:
         try:

@@ -29,6 +29,10 @@ def encode_png(img: np.ndarray) -> bytes:
     if img.ndim == 2:
         color_type = 0
         img = img[:, :, None]
+    elif img.shape[2] == 1:
+        color_type = 0
+    elif img.shape[2] == 2:  # gray + alpha
+        color_type = 4
     elif img.shape[2] == 3:
         color_type = 2
     elif img.shape[2] == 4:

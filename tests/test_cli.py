@@ -66,6 +66,22 @@ def test_load_texture_resample(tmp_path):
     np.testing.assert_allclose(out[..., 1], 0.0, atol=1e-2)
 
 
+def test_load_texture_gray_alpha(tmp_path):
+    """A gray+alpha PNG must expand to RGB (alpha dropped), not pass
+    through as an (N, N, 2) array that breaks albedo packing later."""
+    from hmrt_tpu.io.heightmap import load_texture
+    from hmrt_tpu.io.image import write_png
+
+    ga = np.zeros((8, 8, 2), np.float32)
+    ga[:, :, 0] = 0.5
+    ga[:, :, 1] = 1.0
+    p = str(tmp_path / "ga.png")
+    write_png(p, ga)
+    out = load_texture(p)
+    assert out.shape == (8, 8, 3)
+    np.testing.assert_allclose(out, 0.5, atol=1e-2)
+
+
 def test_load_texture_via_pillow(tmp_path):
     PIL = pytest.importorskip("PIL.Image")
     from hmrt_tpu.io.heightmap import load_heightmap, load_texture

@@ -21,6 +21,19 @@ def _write_tiff(path, img, *, comp=1, tiled=False, predictor=1,
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
 
     def prep(block):
+        if predictor == 3:
+            # float predictor: big-endian byte planes (MSB first), then
+            # byte-wise horizontal differencing — inverse of _unpredict
+            be = np.ascontiguousarray(block.astype(f">f{dt.itemsize}"))
+            b = be.view(np.uint8).reshape(block.shape[0], block.shape[1],
+                                          dt.itemsize)
+            b = b.transpose(0, 2, 1).reshape(block.shape[0], -1)
+            d = b.astype(np.int16)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]
+            raw = (d & 0xFF).astype(np.uint8).tobytes()
+            if comp in (8, 32946):
+                return zlib.compress(raw)
+            return raw
         if predictor == 2:
             u = block.view(np.dtype(f"u{dt.itemsize}")).astype(np.int64)
             d = np.empty_like(u)
@@ -163,6 +176,37 @@ def test_i16_predictor2_deflate(tmp_path):
     p = str(tmp_path / "p.tif")
     _write_tiff(p, img, comp=8, predictor=2)
     np.testing.assert_array_equal(read_tiff_gray(p), img)
+
+
+def test_f32_predictor3_deflate(tmp_path, dem):
+    """GDAL's recommended profile for float DEMs: deflate + PREDICTOR=3."""
+    p = str(tmp_path / "p3.tif")
+    _write_tiff(p, dem, comp=8, predictor=3)
+    np.testing.assert_array_equal(read_tiff_gray(p), dem)
+
+
+def test_f32_predictor3_tiled(tmp_path, dem):
+    p = str(tmp_path / "p3t.tif")
+    _write_tiff(p, dem, comp=8, predictor=3, tiled=True)
+    np.testing.assert_array_equal(read_tiff_gray(p), dem)
+
+
+def test_unknown_predictor_raises(tmp_path, dem):
+    p = str(tmp_path / "px.tif")
+    _write_tiff(p, dem, predictor=4)
+    with pytest.raises(ValueError, match="predictor"):
+        read_tiff_gray(p)
+
+
+def test_truncated_tiff_raises(tmp_path, dem):
+    p = str(tmp_path / "tr.tif")
+    _write_tiff(p, dem)
+    with open(p, "rb") as f:
+        data = f.read()
+    with open(p, "wb") as f:
+        f.write(data[:len(data) // 2])
+    with pytest.raises(ValueError, match="[Tt]runcated|exceeds"):
+        read_tiff_gray(p)
 
 
 def test_u16_bigendian(tmp_path):
