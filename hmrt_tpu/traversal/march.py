@@ -167,18 +167,25 @@ def corner_heights(heights_flat, n, cx, cy):
 
 @partial(jax.jit, static_argnames=("n", "m", "levels", "max_steps",
                                    "cell_intersect", "start_level", "any_hit",
-                                   "clip"))
+                                   "clip", "cone_radius"))
 def march_maxmip(ox, oy, oz, dx, dy, dz, pyr_flat, heights_flat, *,
                  n: int, m: int, levels: int, max_steps: int,
                  cell_intersect: str = "triangle",
                  start_level: int | None = None,
                  any_hit: bool = False,
-                 clip: tuple | None = None) -> MarchResult:
+                 clip: tuple | None = None,
+                 cone_flat=None, cone_radius: int = 0) -> MarchResult:
     """Masked-wavefront maximum-mipmap march over a batch of rays.
 
     All ray components are f32[P]; pyr_flat/heights_flat live in HBM.
     `any_hit=True` is the shadow-ray variant (SURVEY.md C17): identical
     traversal, the caller consumes only the hit mask.
+
+    `cone_flat`/`cone_radius`: optional conservative cone field
+    (core/cone.py) — level-0 lanes whose exact test misses advance by a
+    multi-cell safe jump instead of one DDA step; hit decisions are
+    bit-identical (tests/test_cone.py). The oracle renderer leaves it
+    off so it stays the plain executable spec.
     """
     intersector = INTERSECTORS[cell_intersect]
     world_max = float(n - 1)
@@ -186,6 +193,12 @@ def march_maxmip(ox, oy, oz, dx, dy, dz, pyr_flat, heights_flat, *,
 
     t0, t1, valid = ray_box_range(ox, oy, dx, dy, world_max, clip)
     inv_x, inv_y = ray_inverses(dx, dy)
+    if cone_flat is not None:
+        # per-lane constants of the cone jump: Chebyshev speed (cells per
+        # unit t along the dominant axis) and dz per Chebyshev cell
+        inv_vmax = 1.0 / jnp.maximum(jnp.maximum(jnp.abs(dx), jnp.abs(dy)),
+                                     1e-20)
+        g_cheb = dz * inv_vmax
 
     # Early-out sky test (SURVEY.md C13, BASELINE.json:9): ray starts above
     # the global max height and never descends => it can never hit.
@@ -262,14 +275,40 @@ def march_maxmip(ox, oy, oz, dx, dy, dz, pyr_flat, heights_flat, *,
         new_icy = jnp.where(descend, dcy, jnp.where(advance, adv_y, icy))
         new_t = jnp.where(advance, jnp.maximum(t, t_exit_c), t)
 
+        if cone_flat is not None:
+            # cone jump (core/cone.py): a level-0 lane whose exact test
+            # missed (and whose cell-max skip also failed — the grazing
+            # regime) may advance several cells at once when the cone
+            # over its apex corner sample clears the ray's descent.
+            from hmrt_tpu.core.cone import cone_safe_cells
+            capex = jnp.take(cone_flat,
+                             jnp.clip(icy, 0, n - 2) * n
+                             + jnp.clip(icx, 0, n - 2), mode="clip")
+            z_e = oz + t_exit_c * dz
+            kj = cone_safe_cells(z_e, z00, capex, g_cheb, cone_radius)
+            jump = advance & at_fine & ~skip & (kj >= 2)
+            t_j = t_exit_c + kj.astype(jnp.float32) * inv_vmax
+            jx = jnp.clip(jnp.floor(ox + t_j * dx).astype(jnp.int32),
+                          0, m - 1)
+            jy = jnp.clip(jnp.floor(oy + t_j * dy).astype(jnp.int32),
+                          0, m - 1)
+            new_t = jnp.where(jump, t_j, new_t)
+            new_icx = jnp.where(jump, jx, new_icx)
+            new_icy = jnp.where(jump, jy, new_icy)
+            new_lvl = jnp.where(jump, 0, new_lvl)
+        else:
+            jump = jnp.zeros_like(advance)
+            t_j = new_t
+
         new_side = m >> new_lvl
         # escape test (exact, not heuristic): once the ray's position is
         # above the global max height and it is climbing, no hit is
         # possible — the in-march generalization of the entry sky test
         escaped = advance & (oz + new_t * dz > global_max) & (dz > 0.0)
-        out = advance & ((t_exit >= t1 - EPS_EXIT)
-                         | (new_icx < 0) | (new_icx >= new_side)
-                         | (new_icy < 0) | (new_icy >= new_side)) | escaped
+        out = (advance & ~jump & ((t_exit >= t1 - EPS_EXIT)
+                                  | (new_icx < 0) | (new_icx >= new_side)
+                                  | (new_icy < 0) | (new_icy >= new_side))
+               | (jump & (t_j >= t1 - EPS_EXIT)) | escaped)
         new_alive = alive & ~hit_now & ~out
 
         return dict(
