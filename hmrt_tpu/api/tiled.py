@@ -63,15 +63,86 @@ def _tile_origins(side: int, tile: int):
             yield y0, x0
 
 
+def _ray_box_tmin(ox, oy, oz, dx, dy, dz, box):
+    """Conservative per-ray AABB slab test in the frame's ray
+    parameterization (p = o + t*d, same t as Frame.depth).
+
+    Returns (tmin, intersects) with tmin clamped to >= 0. Near-parallel
+    components are clamped to +/-1e-12 instead of special-cased, which
+    errs toward "intersects" — the caller CULLS on the result, so
+    uncertainty must never cull a tile that could contain a hit."""
+    x0, x1, y0, y1, z0, z1 = box
+
+    def axis(o, d, lo, hi):
+        d = jnp.where(jnp.abs(d) < 1e-12,
+                      jnp.where(d < 0.0, -1e-12, 1e-12), d)
+        inv = 1.0 / d
+        ta = (lo - o) * inv
+        tb = (hi - o) * inv
+        return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+    t0x, t1x = axis(ox, dx, x0, x1)
+    t0y, t1y = axis(oy, dy, y0, y1)
+    t0z, t1z = axis(oz, dz, z0, z1)
+    tmin = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
+    tmax = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+    return tmin, tmin <= tmax
+
+
+def _tile_boxes(origins, fetch, t_cells):
+    """Probe pass: stream each tile's interior samples once for its
+    conservative AABB. The marched window is global cells
+    [x0, x0+t_cells] x [y0, y0+t_cells], whose surface (triangle or
+    bilinear — both stay within the corner-sample hull) lies inside
+    [tile zmin, tile zmax] of exactly the (t_cells+1)^2 interior samples,
+    so the AABB never undercounts. For an mmap'd RawTileMap this is one
+    extra streaming read of the map; it buys skipping whole-tile RENDERS
+    (pyramid build + full-frame march), the expensive part."""
+    boxes = []
+    for y0, x0 in origins:
+        hts = np.asarray(fetch(y0, x0, t_cells + 1, t_cells + 1))
+        boxes.append((float(x0), float(x0 + t_cells),
+                      float(y0), float(y0 + t_cells),
+                      float(hts.min()), float(hts.max())))
+    return boxes
+
+
+def _front_to_back(origins, boxes, eye):
+    """Order tiles by eye-to-AABB Euclidean distance (a monotone proxy
+    for entry t). Ordering is an efficiency lever only — compositing is
+    min-depth, so any order gives identical pixels — but front-to-back
+    makes best_t tight early, so the per-tile can-improve test culls the
+    back tiles."""
+    ex, ey, ez = (float(v) for v in np.asarray(eye))
+    keyed = []
+    for og, bx in zip(origins, boxes):
+        ddx = max(bx[0] - ex, 0.0, ex - bx[1])
+        ddy = max(bx[2] - ey, 0.0, ey - bx[3])
+        ddz = max(bx[4] - ez, 0.0, ez - bx[5])
+        keyed.append((ddx * ddx + ddy * ddy + ddz * ddz, og, bx))
+    keyed.sort(key=lambda k: k[0])
+    return [(og, bx) for _, og, bx in keyed]
+
+
 def render_frame_tiled(source, camera: Camera, config: RenderConfig, *,
                        tile: int = 2048, light: Light | None = None,
-                       albedo: np.ndarray | None = None) -> Frame:
+                       albedo: np.ndarray | None = None, cull: bool = True,
+                       _stats: dict | None = None) -> Frame:
     """Render one frame against a tiled heightmap source.
 
     source: an (N, N) float32 array in world z units, or any object with
     `.side` and `.tile(y0, x0, th, tw) -> np.ndarray` (e.g.
     hmrt_tpu.io.native.RawTileMap for an mmap'd raw-f32 file).
     `tile` is the cell count per tile edge (a tile loads tile+1 samples).
+
+    cull: probe each tile's AABB once, order tiles front-to-back, and
+    render a tile only if some ray could still hit it strictly closer
+    than its current composite depth. Pixel-identical to cull=False (a
+    skipped tile's hits satisfy t >= AABB entry t >= best_t, and the
+    composite keeps strictly-closer hits only); the win is skipping
+    whole-tile renders behind the camera / outside the frustum / fully
+    occluded. _stats (a dict, test hook) records tiles_total,
+    tiles_rendered and shadow_tiles_marched.
     """
     if isinstance(source, np.ndarray):
         side = source.shape[0]
@@ -120,13 +191,40 @@ def render_frame_tiled(source, camera: Camera, config: RenderConfig, *,
             alb = np.asarray(albedo[np.ix_(ys, xs)], np.float32)
         return heights, alb
 
+    if n_cells < 1:
+        raise ValueError("heightmap smaller than one cell")
+
+    # sky image computed once (identical expression to the monolithic
+    # renderer's miss pixels) so an all-culled frame still has a color
+    from hmrt_tpu.shading import shade as sh
+    lgt = light if light is not None else Light.create()
+    eye_v, dirs = camera.rays(H, W)
+    skyr, skyg, skyb = sh.sky_color(dirs[..., 2], lgt.sky_top,
+                                    lgt.sky_horizon)
+    sky_col = jnp.clip(jnp.stack([skyr, skyg, skyb], axis=-1), 0.0, 1.0)
+
+    origins = list(_tile_origins(side, tile))
+    if cull:
+        boxes = _tile_boxes(origins, fetch, t_cells)
+        ordered = _front_to_back(origins, boxes, camera.eye)
+    else:
+        ordered = [(og, None) for og in origins]
+    dflat = dirs.reshape(-1, 3)
+
     best_t = jnp.full((H, W), jnp.inf, jnp.float32)
-    best_color = None
+    best_color = sky_col
     best_normal = jnp.zeros((H, W, 3), jnp.float32)
     any_hit = jnp.zeros((H, W), bool)
-    sky_col = None
+    rendered = 0
 
-    for y0, x0 in _tile_origins(side, tile):
+    for (y0, x0), box in ordered:
+        if box is not None:
+            tmin, ib = _ray_box_tmin(eye_v[0], eye_v[1], eye_v[2],
+                                     dflat[:, 0], dflat[:, 1], dflat[:, 2],
+                                     box)
+            if not bool(jnp.any(ib & (tmin < best_t.reshape(-1)))):
+                continue
+        rendered += 1
         heights, alb = load_tile(y0, x0, albedo is not None)
         scene = make_scene(heights, albedo=alb, light=light)
         # translate the camera into tile-local world coordinates (the
@@ -138,29 +236,22 @@ def render_frame_tiled(source, camera: Camera, config: RenderConfig, *,
         hit = fr.hit
         t = jnp.where(hit, fr.depth, jnp.inf)
         closer = t < best_t
-        if best_color is None:
-            # miss pixels are sky-colored identically in every tile
-            sky_col = fr.color
-            best_color = fr.color
-            best_t = t
-            best_normal = fr.normal
-            any_hit = hit
-        else:
-            best_color = jnp.where(closer[..., None], fr.color, best_color)
-            best_normal = jnp.where(closer[..., None], fr.normal,
-                                    best_normal)
-            best_t = jnp.minimum(best_t, t)
-            any_hit = any_hit | hit
+        best_color = jnp.where(closer[..., None], fr.color, best_color)
+        best_normal = jnp.where(closer[..., None], fr.normal, best_normal)
+        best_t = jnp.minimum(best_t, t)
+        any_hit = any_hit | hit
         # free the sub-scene before the next tile streams in
         del scene
 
-    if best_color is None:
-        raise ValueError("heightmap smaller than one cell")
+    if _stats is not None:
+        _stats.update(tiles_total=len(ordered), tiles_rendered=rendered)
 
     if config.shadows:
         return _shade_shadowed(camera, config, light, albedo, load_tile,
-                               _tile_origins(side, tile), side, t_cells,
-                               best_t, best_normal, any_hit)
+                               [og for og, _ in ordered],
+                               [bx for _, bx in ordered],
+                               side, t_cells,
+                               best_t, best_normal, any_hit, _stats)
 
     color = jnp.where(any_hit[..., None], best_color, sky_col)
     return Frame(color=color,
@@ -171,12 +262,18 @@ def render_frame_tiled(source, camera: Camera, config: RenderConfig, *,
 
 
 def _shade_shadowed(camera, config, light, albedo, load_tile, origins,
-                    side, t_cells, best_t, best_normal, any_hit):
+                    boxes, side, t_cells, best_t, best_normal, any_hit,
+                    _stats=None):
     """Stages 2+3 of the shadowed out-of-core frame (module docstring):
     union the per-tile clipped any-hit shadow marches, then shade the
     composited geometry globally — the same expressions as
     core.renderer.shade_hits, so the result matches a monolithic shadowed
-    render (tests/test_tiled.py)."""
+    render (tests/test_tiled.py).
+
+    With AABB boxes available (cull=True), a tile's shadow march is
+    skipped when no LIVE shadow ray (primary hit, not yet occluded)
+    intersects its AABB — the union over the remaining tiles is
+    unchanged because skipped tiles can contribute no occlusion hit."""
     from hmrt_tpu.core.renderer import SHADOW_EPS
     from hmrt_tpu.shading import shade as sh
     from hmrt_tpu.traversal.march import march_maxmip
@@ -202,13 +299,25 @@ def _shade_shadowed(camera, config, light, albedo, load_tile, origins,
     sy = py + ly * SHADOW_EPS + ny * SHADOW_EPS
     sz = pz + lz * SHADOW_EPS + nz * SHADOW_EPS
     occ = jnp.zeros(P, bool)
-    for y0, x0 in origins:
+    marched = 0
+    for (y0, x0), box in zip(origins, boxes):
+        live = hit & ~occ
+        if not bool(jnp.any(live)):
+            break
+        if box is not None:
+            tmin, ib = _ray_box_tmin(
+                sx, sy, sz,
+                jnp.broadcast_to(lx, (P,)), jnp.broadcast_to(ly, (P,)),
+                jnp.broadcast_to(lz, (P,)), box)
+            if not bool(jnp.any(live & ib)):
+                continue
+        marched += 1
         heights, _ = load_tile(y0, x0, False)
         sub = make_scene(heights, light=lgt, pack=False)
         shadow_cap = config.max_steps or (8 * sub.n_cells + 256)
         res = march_maxmip(
-            jnp.where(hit, sx - (x0 - 1), -1e6),
-            jnp.where(hit, sy - (y0 - 1), -1e6), sz,
+            jnp.where(live, sx - (x0 - 1), -1e6),
+            jnp.where(live, sy - (y0 - 1), -1e6), sz,
             jnp.broadcast_to(lx, (P,)), jnp.broadcast_to(ly, (P,)),
             jnp.broadcast_to(lz, (P,)),
             sub.pyr_flat, sub.heights.reshape(-1),
@@ -217,6 +326,8 @@ def _shade_shadowed(camera, config, light, albedo, load_tile, origins,
             clip=(1.0, 1.0 + t_cells))
         occ = occ | res.hit
         del sub
+    if _stats is not None:
+        _stats["shadow_tiles_marched"] = marched
 
     # stage 3: global shading from composited geometry (mirrors shade_hits)
     diff = sh.lambert(nx, ny, nz, lx, ly, lz)

@@ -85,6 +85,67 @@ def test_tiled_shadows_match_monolithic():
                                np.asarray(mono.color), atol=2e-4)
 
 
+def test_tiled_culling_skips_tiles_pixel_identical():
+    """Front-to-back AABB culling: an oblique close-up view must render
+    strictly fewer than all tiles, with output pixel-identical to the
+    uncull path (and to the monolithic render)."""
+    side, tile = 129, 32
+    h = procedural_terrain(side, seed=7)
+    cam = Camera.create(eye=(20.0, 8.0, float(h.max()) + 6.0),
+                        target=(30.0, 30.0, float(h.mean())),
+                        fov_y_deg=50.0)
+    cfg = RenderConfig(width=48, height=32, shading="phong", fog=True,
+                       aux_buffers=True)
+    stats = {}
+    culled = render_frame_tiled(h, cam, cfg, tile=tile, _stats=stats)
+    full = render_frame_tiled(h, cam, cfg, tile=tile, cull=False)
+    assert stats["tiles_total"] == 16
+    assert 0 < stats["tiles_rendered"] < stats["tiles_total"], stats
+    np.testing.assert_array_equal(np.asarray(culled.hit),
+                                  np.asarray(full.hit))
+    np.testing.assert_array_equal(np.asarray(culled.color),
+                                  np.asarray(full.color))
+    np.testing.assert_array_equal(np.asarray(culled.depth),
+                                  np.asarray(full.depth))
+    mono = render_frame(make_scene(h), cam, cfg)
+    np.testing.assert_allclose(np.asarray(culled.color),
+                               np.asarray(mono.color), atol=2e-4)
+
+
+def test_tiled_culling_all_sky():
+    """A camera looking straight up renders ZERO tiles and still produces
+    the exact monolithic sky."""
+    side = 65
+    h = procedural_terrain(side, seed=3)
+    cam = Camera.create(eye=(32.0, 32.0, float(h.max()) + 10.0),
+                        target=(33.0, 32.0, float(h.max()) + 400.0))
+    cfg = RenderConfig(width=32, height=24)
+    stats = {}
+    tiled = render_frame_tiled(h, cam, cfg, tile=32, _stats=stats)
+    assert stats["tiles_rendered"] == 0, stats
+    mono = render_frame(make_scene(h), cam, cfg)
+    assert not bool(np.asarray(tiled.hit).any())
+    np.testing.assert_allclose(np.asarray(tiled.color),
+                               np.asarray(mono.color), atol=1e-6)
+
+
+def test_tiled_shadow_culling_skips_tiles():
+    """Shadowed out-of-core with culling: fewer-than-all tiles marched in
+    the shadow sweep, colors identical to the uncull path."""
+    side, tile = 129, 32
+    h = procedural_terrain(side, seed=7)
+    cam = Camera.create(eye=(20.0, 8.0, float(h.max()) + 6.0),
+                        target=(30.0, 30.0, float(h.mean())),
+                        fov_y_deg=50.0)
+    cfg = RenderConfig(width=40, height=28, shadows=True)
+    stats = {}
+    culled = render_frame_tiled(h, cam, cfg, tile=tile, _stats=stats)
+    full = render_frame_tiled(h, cam, cfg, tile=tile, cull=False)
+    assert stats["shadow_tiles_marched"] < stats["tiles_total"], stats
+    np.testing.assert_array_equal(np.asarray(culled.color),
+                                  np.asarray(full.color))
+
+
 def test_tiled_shadows_low_sun_crosses_tiles():
     """A low sun throws occlusion across tile boundaries — the case a
     naive per-tile shadow march would get wrong."""
