@@ -52,10 +52,13 @@ def _scan_frames(scene: Scene, cams: Camera, salt, config: RenderConfig,
 def _loop_frames(scene, cams, salt, config, n_frames):
     """Host-side frame loop (per-frame dispatch + scalar fetch).
 
-    Used for the Pallas paths: wrapping pallas_call in lax.scan (like
-    lax.while_loop) miscompiled on real hardware — the worker crashed on
-    large scenes. Dispatch overhead (~30 ms/frame over the tunnel) is
-    amortized into the per-frame numbers; frames are 100x that.
+    HISTORY: this was the only safe path for the Pallas backends while
+    wrapping pallas_call in lax.scan/while_loop miscompiled on real
+    hardware (the worker crashed on large scenes). On jax 0.9.0 the
+    full-scale retest PASSES (tools/repros/scan_of_compact_fullscale.py),
+    so scan timing is the default again and this loop is kept as an
+    opt-out (HMRT_HOST_LOOP_TIMING=1) for future-jax triage; it pays
+    ~30 ms/frame of tunnel dispatch that the scan amortizes away.
     """
     acc = 0.0
     for i in range(n_frames):
@@ -78,14 +81,11 @@ def time_animation(scene: Scene, cams: Camera, config: RenderConfig,
     when shadows are on — NOT W*H*2, which would overstate Mrays/s on
     sky-heavy views. Primary-only Mrays/s is always reported alongside.
     """
-    use_scan = (render_scan is not None
-                or config.backend == "oracle"
-                or scene.packed is None
-                or jax.default_backend() != "tpu")
-    if use_scan:
-        scan = render_scan or _scan_frames
-    else:
+    import os
+    if os.environ.get("HMRT_HOST_LOOP_TIMING") and render_scan is None:
         scan = _loop_frames
+    else:
+        scan = render_scan or _scan_frames
     # compile + settle buffers
     float(scan(scene, cams, jnp.zeros(3, jnp.float32), config, n_frames))
     times = []

@@ -107,7 +107,12 @@ def _render_sharded_jit(scene: Scene, camera: Camera, config: RenderConfig,
             fr = render_frame_compact(scene_rep, scene_rep.packed, cam,
                                       band_cfg,
                                       row0=row0.astype(jnp.float32),
-                                      full_height=H, interpret=interpret)
+                                      full_height=H, interpret=interpret,
+                                      # unroll is bit-identical (masked
+                                      # sub-steps) but ~4x slower under the
+                                      # interpreter — CI pins 1, hardware
+                                      # keeps the measured-fastest default
+                                      unroll=1 if interpret else 4)
             out = (fr.color,
                    fr.depth if fr.depth is not None
                    else jnp.zeros((band, W), jnp.float32),

@@ -45,8 +45,8 @@ from hmrt_tpu.core.renderer import SHADOW_EPS
 from hmrt_tpu.kernels.march_body import (BIG_KEY, _multi_gather,
                                          _scalar_cond, _vreg_gather,
                                          cascade_index, column_of,
-                                         fine_gathers, wavefront_step,
-                                         wavefront_step_l0)
+                                         fine_gathers, subserve_gathers,
+                                         wavefront_step, wavefront_step_l0)
 from hmrt_tpu.kernels.packing import (COL_ROWS, CORNER_ROW, PackedScene,
                                       cascade_offsets)
 from hmrt_tpu.shading import shade as sh
@@ -70,8 +70,9 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                        cell_intersect: str,
                        coarse_cap: int, budget: int, inner_cap: int,
                        n_col: int, l0_only: bool = False,
-                       strip_serve: bool = False, l0_conds: bool = False,
-                       drain_min: int = 0,
+                       strip_serve: bool = False, subserve: bool = False,
+                       l0_conds: bool = False,
+                       drain_min: int = 0, unroll: int = 1,
                        debug: bool = False, clip=None):
     (alive_o, t_o, lvl_o, icx_o, icy_o,
      hit_o, thit_o, hx_o, hy_o) = refs[:9]
@@ -124,11 +125,10 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         return (i < coarse_cap) & jnp.any((st["alive"] != 0)
                                           & (st["lvl"] >= l32))
 
-    def a_body(c):
-        i, st = c
+    def a_step(st):
         act = (st["alive"] != 0) & (st["lvl"] >= l32)
         if debug:
-            # phase-A activity rides the same planes; i_body's level-0
+            # phase-A activity rides the same planes; one_step's level-0
             # counter (n0) never fires here, so lvl0% isolates phase B
             st = dict(st, work=st["work"] + act.astype(jnp.int32),
                       nit=st["nit"] + 1)
@@ -137,10 +137,15 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         cidx = coarse_index(lvl, jnp.clip(icy, 0, side - 1),
                             jnp.clip(icx, 0, side - 1))
         cmax = _vreg_gather(cbuf, cidx, 11)
-        st = wavefront_step(st, act, ox, oy, oz, dx, dy, dz,
-                            inv_x, inv_y, t1, gmax, cmax,
-                            m=m, asc_cap=3, lvl_ceiling=top)
-        return i + 1, st
+        return wavefront_step(st, act, ox, oy, oz, dx, dy, dz,
+                              inv_x, inv_y, t1, gmax, cmax,
+                              m=m, asc_cap=3, lvl_ceiling=top)
+
+    def a_body(c):
+        i, st = c
+        for _ in range(unroll):  # sync-amortizing unroll (see i_body)
+            st = a_step(st)
+        return i + unroll, st
 
     if not l0_only:
         _, st = jax.lax.while_loop(a_cond, a_body, (jnp.int32(0), st))
@@ -164,6 +169,14 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                          jnp.where(ydom, ky, kx), BIG_KEY)
 
     offs = cascade_offsets(l32)
+    # subserve: the sublane index plane — each of the block's 8 sublane
+    # rows is served by ITS OWN column record (see march_body
+    # subserve_gathers for why this is nearly free on Mosaic)
+    subl = (jax.lax.broadcasted_iota(jnp.int32, ox.shape, 0)
+            if subserve else None)
+    # subserve: n_col = records (banks) per sublane; slot order in the
+    # scratch middle dim is [8*b + s for bank b, sublane s]
+    n_serve = 8 * n_col if subserve else n_col
 
     # NOTE a software-pipelined double-buffered variant (prefetch the
     # predicted next record set into a second scratch half while marching
@@ -181,16 +194,32 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
             rest = jnp.where(rest == sc, BIG_KEY, rest)
         return sels
 
+    def select_sub(keys):
+        # per-sublane n_col min keys: 8 independent demand streams, each
+        # serving its n_col lowest-key records (bank-major list)
+        sels = []
+        rest = keys
+        for _ in range(n_col):
+            bank = [jnp.min(jnp.where(subl == s, rest, BIG_KEY))
+                    for s in range(8)]
+            sels.extend(bank)
+            for s, sc in enumerate(bank):
+                rest = jnp.where((subl == s) & (rest == sc), BIG_KEY, rest)
+        return sels
+
     def start_dmas(sels, base):
         for c, sc in enumerate(sels):
             scc = jnp.minimum(sc, n_recs - 1)
-            pltpu.make_async_copy(columns_hbm.at[scc],
-                                  col_scr.at[base + c],
+            dst = (col_scr.at[:, c, :] if subserve
+                   else col_scr.at[base + c])
+            pltpu.make_async_copy(columns_hbm.at[scc], dst,
                                   sems.at[base + c]).start()
 
     def wait_dmas(base):
-        for c in range(n_col):
-            pltpu.make_async_copy(columns_hbm.at[0], col_scr.at[base + c],
+        for c in range(n_serve):
+            dst = (col_scr.at[:, c, :] if subserve
+                   else col_scr.at[base + c])
+            pltpu.make_async_copy(columns_hbm.at[0], dst,
                                   sems.at[base + c]).wait()
 
     def b_cond(c):
@@ -198,9 +227,13 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         return (nin < budget) & jnp.any(st["alive"] != 0)
 
     def march_set(st, sels, base):
+        # subserve: `sels` is a (8,128) plane (sublane s's serving key
+        # broadcast over its lanes); otherwise the n_col scalar keys.
 
         def in_set(st):
             cols = key_of(st)
+            # subserve: sels is a list of n_col (8,128) bank planes
+            # (sublane s's serving keys broadcast over its lanes)
             ok = cols == sels[0]
             for sc in sels[1:]:
                 ok = ok | (cols == sc)
@@ -219,8 +252,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
             return ((k < inner_cap) & (n_act > 0)
                     & ((k == 0) | (n_act >= drain_min)))
 
-        def i_body(cc):
-            k, st = cc
+        def one_step(st):
             act = (st["alive"] != 0) & in_set(st)
             lvl, icx, icy = st["lvl"], st["icx"], st["icy"]
             if debug:
@@ -230,6 +262,23 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                           nal=st["nal"] + (st["alive"] != 0).astype(jnp.int32))
             f0 = (icy & 31) * 32 + (icx & 31)
             cols_now = key_of(st)
+            if subserve:
+                fidx = (jnp.zeros_like(f0) if l0_only
+                        else cascade_index(lvl, icx, icy, l32, offs))
+                bank_masks = [None] + [cols_now == sv for sv in sels[1:]]
+                cmax, corners_fn = subserve_gathers(col_scr, bank_masks,
+                                                    lvl, fidx, f0,
+                                                    l32, CORNER_ROW)
+                if l0_only:
+                    st = wavefront_step_l0(
+                        st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
+                        gmax, corners_fn, m=m, intersector=intersector)
+                else:
+                    st = wavefront_step(
+                        st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
+                        gmax, cmax, corners_fn, m=m, asc_cap=3,
+                        lvl_ceiling=l32 - 1, intersector=intersector)
+                return st
             if l0_only:
                 # tail pass: every lane was force-descended to level 0
                 # (tools/diag_b3.py: tail work is 99.9% level 0 at a
@@ -304,17 +353,44 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                     st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
                     gmax, cmax, corners_fn, m=m, asc_cap=3,
                     lvl_ceiling=l32 - 1, intersector=intersector)
-            return k + 1, st
+            return st
+
+        def i_body(cc):
+            # UNROLL: the measured inner loop runs at ~0.8-0.96 us per
+            # iteration while issuing only ~660 vector ops — 3-6x below
+            # VPU issue capacity, i.e. it is bound by the per-iteration
+            # loop sync (cross-lane any() reduction -> scalar -> branch)
+            # and serial dependency chains, not by op count. Running
+            # several masked steps per condition check amortizes the sync;
+            # overshoot costs at most unroll-1 fully-masked steps per set
+            # drain (act is recomputed every sub-step, so masking stays
+            # exact and results bit-identical).
+            k, st = cc
+            for _ in range(unroll):
+                st = one_step(st)
+            return k + unroll, st
 
         k, st = jax.lax.while_loop(i_cond, i_body, (jnp.int32(0), st))
         return k, st
 
     def b_body(c):
         nin, st = c
-        sels = select_excl(key_of(st), [])
-        start_dmas(sels, 0)
-        wait_dmas(0)
-        k, st = march_set(st, sels, 0)
+        if subserve:
+            sels = select_sub(key_of(st))
+            start_dmas(sels, 0)
+            wait_dmas(0)
+            vecs = []
+            for b in range(n_col):
+                sv = jnp.full(ox.shape, BIG_KEY, jnp.int32)
+                for s in range(8):
+                    sv = jnp.where(subl == s, sels[8 * b + s], sv)
+                vecs.append(sv)
+            k, st = march_set(st, vecs, 0)
+        else:
+            sels = select_excl(key_of(st), [])
+            start_dmas(sels, 0)
+            wait_dmas(0)
+            k, st = march_set(st, sels, 0)
         return nin + k, st
 
     out = jax.lax.while_loop(b_cond, b_body, (jnp.int32(0), st))
@@ -346,12 +422,14 @@ def _plane_specs(k):
 @functools.partial(jax.jit,
                    static_argnames=("n", "m", "levels", "m5", "l32",
                                     "cell_intersect", "budget", "n_col",
-                                    "l0_only", "strip_serve", "l0_conds",
-                                    "drain_min", "interpret", "debug",
-                                    "clip"))
+                                    "l0_only", "strip_serve", "subserve",
+                                    "l0_conds",
+                                    "drain_min", "unroll", "interpret",
+                                    "debug", "clip"))
 def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
                l32, cell_intersect, budget, n_col=2, l0_only=False,
-               strip_serve=False, l0_conds=False, drain_min=0,
+               strip_serve=False, subserve=False, l0_conds=False,
+               drain_min=0, unroll=1,
                interpret=False, debug=False, clip=None):
     """One budgeted march sweep over all ray blocks.
 
@@ -361,9 +439,15 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
              resort rounds accumulate hits across passes
     strip_serve: `columns` is the PackedScene.strips array and serving is
              by dual-axis strip-pair records (l0_only must be set).
+    subserve: serve n_col column records per SUBLANE (8 independent
+             demand streams per block) — the scratch is laid out
+             transposed, (rows, 8*n_col, 128), so a record's rows land
+             in its sublane's slot of each row slice and one take-scan
+             per bank serves 8 records (march_body.subserve_gathers).
     Returns (new_state, new_results).
     """
     assert not (strip_serve and not l0_only)
+    assert not (strip_serve and subserve)
     P = rays[0].shape[0]
     R = P // 128
     planes = [r.reshape(R, 128) for r in rays] \
@@ -378,12 +462,17 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
         cell_intersect=cell_intersect,
         coarse_cap=24 * levels + 96, budget=budget, inner_cap=256,
         n_col=n_col, l0_only=l0_only, strip_serve=strip_serve,
-        l0_conds=l0_conds, drain_min=drain_min, debug=debug, clip=clip)
+        subserve=subserve,
+        l0_conds=l0_conds, drain_min=drain_min, unroll=unroll,
+        debug=debug, clip=clip)
 
     out_dt = ([jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
               + [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
               + ([jnp.int32] * 6 if debug else []))
     rec_rows = 8 if strip_serve else COL_ROWS
+    scr_shape = ((rec_rows, 8 * n_col, 128) if subserve
+                 else (n_col, rec_rows, 128))
+    n_sems = 8 * n_col if subserve else max(n_col, 2)
     outs = pl.pallas_call(
         kern,
         grid=grid,
@@ -393,8 +482,8 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
         out_specs=_plane_specs(len(out_dt)),
         out_shape=[jax.ShapeDtypeStruct((R, 128), dt) for dt in out_dt],
         scratch_shapes=[
-            pltpu.VMEM((n_col, rec_rows, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((max(n_col, 2),)),
+            pltpu.VMEM(scr_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA((n_sems,)),
         ],
         interpret=interpret,
     )(coarse, columns, *planes)
@@ -585,14 +674,16 @@ def _unpack_rows(rows, dtypes):
                    static_argnames=("config", "n", "m", "levels", "m5",
                                     "l32", "interpret", "first_budget",
                                     "rounds", "round_budget", "n_col",
-                                    "l0_tail", "has_strips", "l0_conds",
-                                    "drain_min", "full_height"))
+                                    "l0_tail", "has_strips", "subserve",
+                                    "l0_conds",
+                                    "drain_min", "unroll", "full_height"))
 def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                         albedo_b, gmax, *, config: RenderConfig, n, m,
                         levels, m5, l32, interpret, first_budget=96,
                         rounds=3, round_budget=256, n_col=2, l0_tail=False,
-                        has_strips=False, l0_conds=False, drain_min=0,
-                        row0=None, full_height=None):
+                        has_strips=False, subserve=False, l0_conds=False,
+                        drain_min=0,
+                        unroll=1, row0=None, full_height=None):
     H, W = config.height, config.width
     P = -(-H * W // LANES) * LANES
 
@@ -616,7 +707,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
     assert len(ncols) == rounds + 1, (ncols, rounds)
     mkw = dict(n=n, m=m, levels=levels, m5=m5, l32=l32,
                cell_intersect=config.cell_intersect, drain_min=drain_min,
-               interpret=interpret, clip=config.clip_box)
+               unroll=unroll, interpret=interpret, clip=config.clip_box)
     state_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
     res_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
 
@@ -646,7 +737,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
         if not skip_pass0:
             state, res = march_pass(coarse, columns, rays, state, res,
                                     budget=first_budget, n_col=ncols[0],
-                                    **mkw)
+                                    subserve=subserve, **mkw)
         perm_tot = None
         for r in range(n_rounds):
             last = r == n_rounds - 1
@@ -676,6 +767,8 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                                     else ncols[r + 1],
                                     l0_only=tail,
                                     strip_serve=tail and has_strips,
+                                    subserve=subserve
+                                    and not (tail and has_strips),
                                     l0_conds=l0_conds, **mkw)
         # back to launch order (invert the composed permutation)
         if perm_tot is not None:
@@ -768,8 +861,9 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          round_budget: int = 512, n_col: int = 4,
                          l0_tail: bool = False,
                          strip_tail: bool = False,
+                         subserve: bool = False,
                          l0_conds: bool = False, drain_min: int = 0,
-                         row0=None,
+                         unroll: int = 4, row0=None,
                          full_height: int | None = None) -> Frame:
     """Compacted-wavefront render (see module docstring).
 
@@ -795,5 +889,6 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
         m=scene.m, levels=scene.levels, m5=packed.m5, l32=packed.l32,
         interpret=interpret, first_budget=first_budget, rounds=rounds,
         round_budget=round_budget, n_col=n_col, l0_tail=l0_tail,
-        has_strips=has_strips, l0_conds=l0_conds, drain_min=drain_min,
-        row0=row0, full_height=full_height)
+        has_strips=has_strips, subserve=subserve, l0_conds=l0_conds,
+        drain_min=drain_min,
+        unroll=unroll, row0=row0, full_height=full_height)

@@ -151,6 +151,68 @@ def fine_gathers(col_scr, sels, cols_now, act, at0, lvl, fidx, f0, l32,
     return cmax, corners_fn
 
 
+def subserve_gathers(col_scr, bank_masks, lvl, fidx, f0, l32, corner_row,
+                     casc_rows=3):
+    """Per-SUBLANE record gathers: `col_scr` is a (rows, 8*nb, 128)
+    scratch where sublane s of row slice [r, 8b:8b+8, :] holds the row r
+    of the b-th record serving sublane s (the demand loop DMAs nb column
+    records per sublane — 8 independent demand streams). A single
+    take-scan per bank then serves 8 different column records at once
+    with NO per-column `mine` masking: Mosaic's dynamic lane gather
+    operates on each (1, 128) row of a (8, 128) operand independently,
+    so `col_scr[r, 8b:8b+8, :]` — whose 8 rows come from 8 different
+    records — is gathered per-sublane for free.
+
+    bank_masks: one per-lane bool plane per bank b >= 1 selecting lanes
+    whose current record is bank b (bank 0 is the default; entry 0 is
+    ignored). nb >= 2 exists because nb == 1 measured GREAT per-step
+    cost but POOR density on B3 (0.257 vs 0.462 us/step, 20% vs 58%
+    density): a marching lane crosses out of a 32x32 record in ~10-30
+    steps and then stalls until every sublane drains, while the block-
+    global 4-column serving gave crossing lanes continuity. A second
+    per-sublane record restores that continuity at 2 takes/row instead
+    of the per-column scan's n_col x (broadcast+take+select).
+
+    vs fine_gathers: the corner scan drops from n_col x 8 rows x 4 ch x
+    (broadcast+take+select) to 8 rows x 4 ch x nb x (take+select), while
+    serving 8*nb columns instead of n_col. Values fetched are identical —
+    only which lanes are served per iteration changes, so hit decisions
+    stay bit-identical (serving policy is not arithmetic).
+    """
+    nb = len(bank_masks)
+
+    def multi_bank(r, idx_col):
+        g = jnp.take_along_axis(col_scr[r, 0:8, :], idx_col, axis=1)
+        for b in range(1, nb):
+            gb = jnp.take_along_axis(col_scr[r, 8 * b:8 * b + 8, :],
+                                     idx_col, axis=1)
+            g = jnp.where(bank_masks[b], gb, g)
+        return g
+
+    row_c = fidx >> 7
+    col_c = fidx & 127
+    cmax = jnp.zeros(f0.shape, jnp.float32)
+    for r in range(casc_rows):
+        cmax = jnp.where(row_c == r, multi_bank(r, col_c), cmax)
+    # lanes still above the bricked levels have no cascade entry; BIG_T
+    # forces a safe descend (same policy as fine_gathers)
+    cmax = jnp.where(lvl >= l32, BIG_T, cmax)
+
+    row = f0 >> 7
+    col = f0 & 127
+
+    def corners_fn():
+        z = [jnp.zeros(f0.shape, jnp.float32) for _ in range(4)]
+        for k in range(8):
+            sel = row == k
+            for ch in range(4):
+                g = multi_bank(corner_row + ch * 8 + k, col)
+                z[ch] = jnp.where(sel, g, z[ch])
+        return tuple(z)
+
+    return cmax, corners_fn
+
+
 def wavefront_step(st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1, gmax,
                    cmax, corners_fn=None, *, m, asc_cap, lvl_ceiling,
                    intersector=None, ascend_on_test_miss=False,

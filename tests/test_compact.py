@@ -13,6 +13,10 @@ from hmrt_tpu.kernels.compact import render_frame_compact
 from hmrt_tpu.types import Camera
 
 INTERPRET = not bool(os.environ.get("HMRT_TEST_TPU"))
+# unroll>1 is bit-identical by construction (masked sub-steps) but costs
+# ~4x wall time under the Pallas interpreter, so the suite pins 1 there;
+# test_compact_unroll_parity covers the unrolled path at small scale.
+UNROLL = 1 if INTERPRET else 4
 
 
 @pytest.fixture(scope="module")
@@ -30,7 +34,7 @@ def _cam(terr):
 def _compare(scene, terr, cfg, cam=None):
     cam = cam or _cam(terr)
     fc = render_frame_compact(scene, scene.packed, cam, cfg,
-                              interpret=INTERPRET)
+                              interpret=INTERPRET, unroll=UNROLL)
     fo = render_frame_oracle(scene, cam, cfg)
     np.testing.assert_array_equal(np.asarray(fc.hit), np.asarray(fo.hit))
     diff = np.abs(np.asarray(fc.color) - np.asarray(fo.color)).max()
@@ -82,7 +86,7 @@ def test_compact_strip_tail(scene128c):
     cfg = RenderConfig(width=128, height=32, shading="phong")
     fc = render_frame_compact(scene, packed, cam, cfg,
                               interpret=INTERPRET, l0_tail=True,
-                              strip_tail=True)
+                              strip_tail=True, unroll=UNROLL)
     fo = render_frame_oracle(scene, cam, cfg)
     np.testing.assert_array_equal(np.asarray(fc.hit), np.asarray(fo.hit))
     assert np.abs(np.asarray(fc.color) - np.asarray(fo.color)).max() < 5e-5
@@ -96,7 +100,8 @@ def test_compact_l0_tail(scene128c):
     cam = _cam(terr)
     cfg = RenderConfig(width=128, height=32, shading="phong")
     fc = render_frame_compact(scene, scene.packed, cam, cfg,
-                              interpret=INTERPRET, l0_tail=True)
+                              interpret=INTERPRET, l0_tail=True,
+                              unroll=UNROLL)
     fo = render_frame_oracle(scene, cam, cfg)
     np.testing.assert_array_equal(np.asarray(fc.hit), np.asarray(fo.hit))
     assert np.abs(np.asarray(fc.color) - np.asarray(fo.color)).max() < 5e-5
@@ -131,7 +136,7 @@ def test_compact_odd_resolution(scene128c):
     scene, terr = scene128c
     fc = render_frame_compact(scene, scene.packed, _cam(terr),
                               RenderConfig(width=100, height=37),
-                              interpret=INTERPRET)
+                              interpret=INTERPRET, unroll=UNROLL)
     assert np.asarray(fc.color).shape == (37, 100, 3)
 
 
@@ -142,3 +147,57 @@ def test_compact_grazing(scene128c):
                         target=(float(n), n / 2 + 1.0,
                                 float(terr.max()) * 0.88))
     _compare(scene, terr, RenderConfig(width=256, height=16), cam=cam)
+
+
+def test_compact_subserve(scene128c):
+    """Per-sublane record serving (march_body.subserve_gathers): 8
+    independent demand streams per block, one record per sublane, one
+    take-scan serving all 8. Serving policy only — hits must match the
+    oracle exactly (same cells, same intersector arithmetic)."""
+    scene, terr = scene128c
+    cam = _cam(terr)
+    for cfg in (RenderConfig(width=128, height=32, shading="phong",
+                             shadows=True),
+                RenderConfig(width=100, height=37)):
+        fc = render_frame_compact(scene, scene.packed, cam, cfg,
+                                  interpret=INTERPRET, subserve=True,
+                                  unroll=UNROLL)
+        fo = render_frame_oracle(scene, cam, cfg)
+        np.testing.assert_array_equal(np.asarray(fc.hit),
+                                      np.asarray(fo.hit))
+        assert np.abs(np.asarray(fc.color)
+                      - np.asarray(fo.color)).max() < 5e-5
+
+
+def test_compact_subserve_grazing_l0(scene128c):
+    """subserve x l0_tail on a grazing camera — the B3 tail regime the
+    mode exists for (horizon rays crossing many columns)."""
+    scene, terr = scene128c
+    n = 128
+    cam = Camera.create(eye=(2.0, n / 2, float(terr.max()) * 1.02),
+                        target=(float(n), n / 2 + 1.0,
+                                float(terr.max()) * 0.88))
+    cfg = RenderConfig(width=256, height=16)
+    fc = render_frame_compact(scene, scene.packed, cam, cfg,
+                              interpret=INTERPRET, subserve=True,
+                              l0_tail=True, unroll=UNROLL)
+    fo = render_frame_oracle(scene, cam, cfg)
+    np.testing.assert_array_equal(np.asarray(fc.hit), np.asarray(fo.hit))
+    assert np.abs(np.asarray(fc.color) - np.asarray(fo.color)).max() < 5e-5
+
+
+def test_compact_unroll_parity(scene128c):
+    """unroll>1 amortizes the while-loop sync by running several masked
+    steps per condition check; act is recomputed each sub-step so the
+    image must be BIT-identical to unroll=1 (the production default is
+    4 — measured 2619 -> 2250 ms on B3)."""
+    scene, terr = scene128c
+    cam = _cam(terr)
+    cfg = RenderConfig(width=96, height=16, shading="phong")
+    f1 = render_frame_compact(scene, scene.packed, cam, cfg,
+                              interpret=INTERPRET, unroll=1)
+    f4 = render_frame_compact(scene, scene.packed, cam, cfg,
+                              interpret=INTERPRET, unroll=4)
+    np.testing.assert_array_equal(np.asarray(f1.hit), np.asarray(f4.hit))
+    np.testing.assert_array_equal(np.asarray(f1.color),
+                                  np.asarray(f4.color))

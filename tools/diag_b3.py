@@ -32,7 +32,10 @@ def main():
     ap.add_argument("--res", default="1920x1080")
     ap.add_argument("--sched", default="0,2,512,4")
     args = ap.parse_args()
-    fb, rounds, rb, n_col = (int(v) for v in args.sched.split(","))
+    parts = [int(v) for v in args.sched.split(",")]
+    fb, rounds, rb, n_col = parts[:4]
+    unroll = parts[4] if len(parts) > 4 else 1
+    sub = bool(parts[5]) if len(parts) > 5 else False
 
     import dataclasses
 
@@ -72,7 +75,7 @@ def main():
 
     mkw = dict(n=scene.n, m=scene.m, levels=scene.levels, m5=packed.m5,
                l32=packed.l32, cell_intersect=cfg.cell_intersect,
-               n_col=n_col, debug=True)
+               n_col=n_col, unroll=unroll, subserve=sub, debug=True)
 
     @jax.jit
     def sort_round(state, rays, res):

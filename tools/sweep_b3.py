@@ -53,6 +53,8 @@ def main():
         strip = bool(sched[5]) if len(sched) > 5 else False
         conds = bool(sched[6]) if len(sched) > 6 else False
         dmin = int(sched[7]) if len(sched) > 7 else 0
+        unroll = int(sched[8]) if len(sched) > 8 else 1
+        sub = bool(sched[9]) if len(sched) > 9 else False
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
         if isinstance(nc, tuple) and len(nc) == 1:
@@ -61,7 +63,8 @@ def main():
                                   first_budget=fb, rounds=r,
                                   round_budget=rb, n_col=nc, l0_tail=l0,
                                   strip_tail=strip, l0_conds=conds,
-                                  drain_min=dmin)
+                                  drain_min=dmin, unroll=unroll,
+                                  subserve=sub)
         return float(jnp.sum(fr.color[::16, ::16]))
 
     for stxt in args.schedules.split():
