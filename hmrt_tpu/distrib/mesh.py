@@ -112,7 +112,7 @@ def _render_sharded_jit(scene: Scene, camera: Camera, config: RenderConfig,
                                       # sub-steps) but ~4x slower under the
                                       # interpreter — CI pins 1, hardware
                                       # keeps the measured-fastest default
-                                      unroll=1 if interpret else 4)
+                                      unroll=1 if interpret else 8)
             out = (fr.color,
                    fr.depth if fr.depth is not None
                    else jnp.zeros((band, W), jnp.float32),

@@ -78,6 +78,24 @@ def _multi_gather(bufs, f):
     return accs
 
 
+def corner_scan(block, f0, corner_row):
+    """Gather the 4 BAND-MAJOR corner channels of in-column index f0 from
+    one (COL_ROWS, 128) record value: rows corner_row + 4*k + ch (see
+    kernels/packing.py). Same 8-chunk x 4-channel op count as the old
+    channel-major _multi_gather — only the row addressing differs."""
+    col = f0 & 127
+    row = f0 >> 7
+    z = [jnp.zeros(f0.shape, jnp.float32) for _ in range(4)]
+    for k in range(8):
+        sel = row == k
+        for ch in range(4):
+            r = corner_row + 4 * k + ch
+            rowk = jnp.broadcast_to(block[r:r + 1, :], f0.shape)
+            g = jnp.take_along_axis(rowk, col, axis=1)
+            z[ch] = jnp.where(sel, g, z[ch])
+    return tuple(z)
+
+
 def column_of(st, m5):
     """32-cell terrain column id of each lane's current cell (any level);
     dead lanes key as BIG_KEY so scalar min-selection skips them."""
@@ -133,12 +151,7 @@ def fine_gathers(col_scr, sels, cols_now, act, at0, lvl, fidx, f0, l32,
             mine = cols_now == sc
 
             def gather(c=c, mine=mine, z=z):
-                g = _multi_gather(
-                    (col_scr[base + c, corner_row + 0:corner_row + 8, :],
-                     col_scr[base + c, corner_row + 8:corner_row + 16, :],
-                     col_scr[base + c, corner_row + 16:corner_row + 24, :],
-                     col_scr[base + c, corner_row + 24:corner_row + 32, :]),
-                    f0)
+                g = corner_scan(col_scr[base + c], f0, corner_row)
                 return tuple(jnp.where(mine, g[i], z[i]) for i in range(4))
 
             def keep(z=z):
@@ -206,11 +219,43 @@ def subserve_gathers(col_scr, bank_masks, lvl, fidx, f0, l32, corner_row,
         for k in range(8):
             sel = row == k
             for ch in range(4):
-                g = multi_bank(corner_row + ch * 8 + k, col)
+                g = multi_bank(corner_row + 4 * k + ch, col)
                 z[ch] = jnp.where(sel, g, z[ch])
         return tuple(z)
 
     return cmax, corners_fn
+
+
+def band_gathers(col_scr, bank_masks, f0):
+    """Per-sublane BAND record corner gathers for the level-0 tail.
+
+    `col_scr` is a (4, 8*nb, 128) scratch: row slice [ch, 8b:8b+8, :]
+    holds corner channel ch of the b-th band record serving each sublane
+    (a band = 4 consecutive cell rows of one 32x32 column — one
+    contiguous (4, 128) DMA under the band-major record layout,
+    kernels/packing.py). The serving key is column*8 + band, so every
+    lane served here has its full corner set in ONE row per channel:
+    the gather is 4 takes + bank selects — the 8-chunk scan of
+    subserve_gathers (32 takes + 32 selects per bank) is gone.
+
+    Values fetched are identical to the column-record path (same packed
+    rows, finer serving granularity), so hit decisions stay bit-exact.
+    """
+    nb = len(bank_masks)
+    col = f0 & 127
+
+    def multi_bank(ch):
+        g = jnp.take_along_axis(col_scr[ch, 0:8, :], col, axis=1)
+        for b in range(1, nb):
+            gb = jnp.take_along_axis(col_scr[ch, 8 * b:8 * b + 8, :],
+                                     col, axis=1)
+            g = jnp.where(bank_masks[b], gb, g)
+        return g
+
+    def corners_fn():
+        return tuple(multi_bank(ch) for ch in range(4))
+
+    return corners_fn
 
 
 def wavefront_step(st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1, gmax,

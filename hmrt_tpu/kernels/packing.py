@@ -33,10 +33,18 @@ Column record row layout (rows of 128 lanes):
     row 2      level-2 (64) | level-3 (16) | level-4 (4) | level-5 (1)
                | ancestor values for bricked levels >= 6 (1 each)
     row 3      padding
-    rows 4-35  corner heights z00,z10,z01,z11 (4 channels x 8 rows)
+    rows 4-35  corner heights, BAND-MAJOR: row 4 + 4*k + ch holds corner
+               channel ch (z00,z10,z01,z11) for in-column cells
+               f0 = ly*32 + lx in [128k, 128k+128) — i.e. the 4 channel
+               rows of each 32x4-cell BAND (4 consecutive cell rows) are
+               CONTIGUOUS, so the compact tail can DMA one band as a
+               single (4, 128) copy and gather its corners with one
+               lane-take per channel (no 8-row scan). Gathers that span
+               the whole column still scan 8 chunks x 4 channels — same
+               op count as the old channel-major order.
 In-column index at level l >= 1: off(l) + ly*(32>>l) + lx with lx/ly =
 cell coords masked to the column (closed-form lane arithmetic in the
-kernel); level 0 reads the corner channels at ly*32 + lx directly.
+kernel); level 0 reads the corner rows at 4*(f0>>7) + ch, lane f0&127.
 
 Rejected round-2 experiments (kept here so they are not retried blind;
 numbers in BENCH_NOTES.md "Deferred-test post-mortem"): a separate
@@ -225,9 +233,11 @@ def _pack_arrays(heights: jax.Array, albedo, *, n: int, m: int,
         return jnp.pad(a, ((0, m - (n - 1)), (0, m - (n - 1))), mode="edge")
 
     corner_grids = [pad_cells(z) for z in (z00, z10, z01, z11)]
-    corner_flat = jnp.concatenate(
-        [_to_bricks(z).reshape(m5 * m5, 1024)
-         for z in corner_grids], axis=1)            # (m5^2, 4096)
+    # band-major interleave (see module docstring): (ch, rec, k, 128) ->
+    # (rec, k, ch, 128) so row 4*k + ch of the record is channel ch of
+    # in-column chunk k — each 32x4-cell band is 4 contiguous rows
+    corner_stack = jnp.stack([_to_bricks(z) for z in corner_grids], axis=0)
+    corner_flat = corner_stack.transpose(1, 2, 0, 3).reshape(m5 * m5, 4096)
     strips = (_build_strips(corner_grids, m)
               if with_strips and m >= STRIP else None)
 

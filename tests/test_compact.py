@@ -186,6 +186,59 @@ def test_compact_subserve_grazing_l0(scene128c):
     assert np.abs(np.asarray(fc.color) - np.asarray(fo.color)).max() < 5e-5
 
 
+def test_compact_band_tail(scene128c):
+    """Band-granular tail serving (band_tail=True: serving key is
+    column*8 + 32x4-cell band, each bank DMA is the band's 4 contiguous
+    corner rows, gather is one take per channel —
+    march_body.band_gathers). Serving policy only; hits must match the
+    oracle exactly. Covers both a grazing camera (the regime the mode
+    targets) and an oblique one with shadows."""
+    scene, terr = scene128c
+    n = 128
+    graze = Camera.create(eye=(2.0, n / 2, float(terr.max()) * 1.02),
+                          target=(float(n), n / 2 + 1.0,
+                                  float(terr.max()) * 0.88))
+    for cam, cfg in ((graze, RenderConfig(width=256, height=16)),
+                     (_cam(terr),
+                      RenderConfig(width=128, height=32, shading="phong",
+                                   shadows=True))):
+        fc = render_frame_compact(scene, scene.packed, cam, cfg,
+                                  interpret=INTERPRET, subserve=True,
+                                  l0_tail=True, band_tail=True,
+                                  unroll=UNROLL)
+        fo = render_frame_oracle(scene, cam, cfg)
+        np.testing.assert_array_equal(np.asarray(fc.hit),
+                                      np.asarray(fo.hit))
+        assert np.abs(np.asarray(fc.color)
+                      - np.asarray(fo.color)).max() < 5e-5
+
+
+def test_compact_adaptive_tail(scene128c):
+    """l0_tail='auto' picks the forced-l0 tail kernel per frame via
+    lax.cond on the survivors' level mix (kernels/compact.py
+    L0_TAIL_AUTO_THRESH). Both branches are exact, so any camera must
+    match the oracle; cover a grazing view (selects the l0 branch on
+    B3-like work) and an orbit view (selects the plain branch)."""
+    scene, terr = scene128c
+    n = 128
+    graze = Camera.create(eye=(2.0, n / 2, float(terr.max()) * 1.02),
+                          target=(float(n), n / 2 + 1.0,
+                                  float(terr.max()) * 0.88))
+    orbit = Camera.create(eye=(n * 0.8, n * 0.2, float(terr.max()) * 1.6),
+                          target=(n / 2, n / 2, float(terr.mean())))
+    for cam, cfg in ((graze, RenderConfig(width=256, height=16)),
+                     (orbit, RenderConfig(width=128, height=32,
+                                          shading="phong", shadows=True))):
+        fc = render_frame_compact(scene, scene.packed, cam, cfg,
+                                  interpret=INTERPRET, l0_tail="auto",
+                                  unroll=UNROLL)
+        fo = render_frame_oracle(scene, cam, cfg)
+        np.testing.assert_array_equal(np.asarray(fc.hit),
+                                      np.asarray(fo.hit))
+        assert np.abs(np.asarray(fc.color)
+                      - np.asarray(fo.color)).max() < 5e-5
+
+
 def test_compact_unroll_parity(scene128c):
     """unroll>1 amortizes the while-loop sync by running several masked
     steps per condition check; act is recomputed each sub-step so the

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Spot-check B2/B4-style frames under compact-schedule variants.
+
+The B3-tuned schedule (l0_tail + subserve) must not regress the
+pyramid-friendly orbit views: l0_tail forces every surviving ray to
+level 0 for the final round, which measured 706 -> 1564 ms on B4 under
+block-global serving (BENCH_NOTES round-2).  This re-measures under
+subserve so the production defaults can be chosen on data.
+
+Usage: python tools/check_b2b4.py [--which b2 b4]
+Each row: map size, schedule knobs, median ms over reps.
+"""
+import argparse
+import dataclasses
+import time
+
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--which", nargs="*", default=["b2", "b4"])
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from hmrt_tpu.api.scene import make_scene
+    from hmrt_tpu.bench.configs import BENCH_CONFIGS
+    from hmrt_tpu.io.heightmap import procedural_terrain
+    from hmrt_tpu.kernels.compact import render_frame_compact
+    from hmrt_tpu.types import Camera
+
+    variants = [
+        # label, kwargs (production defaults = whatever compact.py ships)
+        ("defaults", {}),
+        ("l0_tail=auto", {"l0_tail": "auto"}),
+        ("l0_tail=False", {"l0_tail": False}),
+        ("l0=F,sub=F,ncol4,rb512,unroll4",
+         {"l0_tail": False, "subserve": False, "n_col": 4,
+          "round_budget": 512, "unroll": 4, "rounds": 2}),
+    ]
+
+    for which in args.which:
+        bc = BENCH_CONFIGS[which.upper()]
+        n = bc.map_n
+        terr = procedural_terrain(n, seed=3)
+        scene = make_scene(terr)
+        zmax = float(terr.max())
+        # orbit-style camera (B4's flythrough regime: oblique, pyramid-
+        # friendly) at the config's resolution
+        cfg = dataclasses.replace(bc.render, backend="compact")
+        cam0 = Camera.create(eye=(n * 0.8, n * 0.2, zmax * 1.6),
+                             target=(n * 0.5, n * 0.5, float(terr.mean())),
+                             fov_y_deg=45.0)
+        for label, kw in variants:
+            def run(salt):
+                cam = Camera(eye=cam0.eye + salt, target=cam0.target,
+                             up=cam0.up, fov_y=cam0.fov_y)
+                fr = render_frame_compact(scene, scene.packed, cam, cfg,
+                                          **kw)
+                return float(jnp.sum(fr.color[::16, ::16]))
+            try:
+                run(jnp.zeros(3, jnp.float32))
+                times = []
+                for rep in range(1, args.reps + 1):
+                    salt = jnp.asarray([rep * 1e-4] * 3, jnp.float32)
+                    t0 = time.perf_counter()
+                    run(salt)
+                    times.append((time.perf_counter() - t0) * 1e3)
+                times.sort()
+                print(f"{which} {label}: {times[len(times)//2]:.0f} ms "
+                      f"(all {[f'{t:.0f}' for t in times]})", flush=True)
+            except Exception as e:
+                print(f"{which} {label}: FAILED {type(e).__name__}: {e}",
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,7 @@ Usage: python tools/diag_b3.py [--map 4096] [--res 1920x1080]
                                [--sched 0,2,512,4]
 """
 import argparse
+import functools
 import time
 
 import jax
@@ -32,10 +33,14 @@ def main():
     ap.add_argument("--res", default="1920x1080")
     ap.add_argument("--sched", default="0,2,512,4")
     args = ap.parse_args()
+    # sched format = sweep_b3's: fb,rounds,rb,ncol,l0,strip,conds,dmin,
+    # unroll,sub (strip/conds/dmin ignored here)
     parts = [int(v) for v in args.sched.split(",")]
     fb, rounds, rb, n_col = parts[:4]
-    unroll = parts[4] if len(parts) > 4 else 1
-    sub = bool(parts[5]) if len(parts) > 5 else False
+    l0_tail = bool(parts[4]) if len(parts) > 4 else False
+    unroll = parts[8] if len(parts) > 8 else 1
+    sub = bool(parts[9]) if len(parts) > 9 else False
+    band = bool(parts[10]) if len(parts) > 10 else False
 
     import dataclasses
 
@@ -77,9 +82,12 @@ def main():
                l32=packed.l32, cell_intersect=cfg.cell_intersect,
                n_col=n_col, unroll=unroll, subserve=sub, debug=True)
 
-    @jax.jit
-    def sort_round(state, rays, res):
-        key = C._column_key(state, packed.m5)
+    @functools.partial(jax.jit, static_argnames=("force0",))
+    def sort_round(state, rays, res, force0=False):
+        if force0:
+            state = C._force_level0(rays, state, scene.levels)
+        key = (C._band_key(state, packed.m5, scene.m) if force0 and band
+               else C._column_key(state, packed.m5))
         perm = jnp.argsort(key)
         rows = C._pack_rows(*rays, *state, *res)
         rows_s = jnp.take(rows, perm, axis=0)
@@ -121,13 +129,16 @@ def main():
         if rep == 1:
             print("--- warm, salted repetition ---", flush=True)
         for r, budget in enumerate(budgets):
+            tail = l0_tail and r == len(budgets) - 1
             if r > 0:
-                (rays, state, res), ms = timed(sort_round, state, rays, res)
+                (rays, state, res), ms = timed(sort_round, state, rays, res,
+                                               force0=tail)
                 if rep == 1:
                     print(f"sort {r}: {ms:7.1f} ms", flush=True)
             (state, res, dbg), ms = timed(
                 C.march_pass, packed.coarse, packed.columns, rays, state,
-                res, budget=budget, **mkw)
+                res, budget=budget, l0_only=tail,
+                band_serve=tail and band, **mkw)
             if rep == 1:
                 report(f"pass {r} (budget {budget})", state, dbg, ms)
 

@@ -49,12 +49,15 @@ def main():
 
     def run(sched, salt):
         fb, r, rb, nc = sched[:4]
-        l0 = bool(sched[4]) if len(sched) > 4 else False
+        # 0=off, 1=on, 2=adaptive ("auto")
+        l0 = ([False, True, "auto"][int(sched[4])]
+              if len(sched) > 4 else False)
         strip = bool(sched[5]) if len(sched) > 5 else False
         conds = bool(sched[6]) if len(sched) > 6 else False
         dmin = int(sched[7]) if len(sched) > 7 else 0
         unroll = int(sched[8]) if len(sched) > 8 else 1
         sub = bool(sched[9]) if len(sched) > 9 else False
+        band = bool(sched[10]) if len(sched) > 10 else False
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
         if isinstance(nc, tuple) and len(nc) == 1:
@@ -64,7 +67,7 @@ def main():
                                   round_budget=rb, n_col=nc, l0_tail=l0,
                                   strip_tail=strip, l0_conds=conds,
                                   drain_min=dmin, unroll=unroll,
-                                  subserve=sub)
+                                  subserve=sub, band_tail=band)
         return float(jnp.sum(fr.color[::16, ::16]))
 
     for stxt in args.schedules.split():
