@@ -43,10 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 from hmrt_tpu.config import RenderConfig
 from hmrt_tpu.core.renderer import SHADOW_EPS
 from hmrt_tpu.kernels.march_body import (BIG_KEY, _multi_gather,
-                                         _scalar_cond, _vreg_gather,
+                                         _scalar_cond,
+                                         _vreg_gather, band_gathers,
                                          cascade_index, column_of,
-                                         fine_gathers, subserve_gathers,
-                                         wavefront_step, wavefront_step_l0)
+                                         corner_scan, fine_gathers,
+                                         subserve_gathers, wavefront_step,
+                                         wavefront_step_l0)
 from hmrt_tpu.kernels.packing import (COL_ROWS, CORNER_ROW, PackedScene,
                                       cascade_offsets)
 from hmrt_tpu.shading import shade as sh
@@ -55,6 +57,14 @@ from hmrt_tpu.traversal.march import entry_cell, ray_box_range, ray_inverses
 from hmrt_tpu.types import Camera, Frame, Scene
 
 LANES = 1024          # rays per kernel block: one (8,128) register set
+
+#: l0_tail="auto": fraction of surviving rays already at level 0 (after
+#: the penultimate sorted round) above which the forced-l0 tail kernel
+#: is selected. Measured level-0 fractions: B3 grazing tail ~0.999, B4
+#: orbit flythrough well below (survivors still take pyramid skips) —
+#: the margin is wide, the exact value is uncritical (both branches are
+#: bit-exact; this only trades the ~4% l0 win vs the ~2x orbit loss).
+L0_TAIL_AUTO_THRESH = 0.9
 
 
 # ---------------------------------------------------------------------------
@@ -71,6 +81,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                        coarse_cap: int, budget: int, inner_cap: int,
                        n_col: int, l0_only: bool = False,
                        strip_serve: bool = False, subserve: bool = False,
+                       band_serve: bool = False,
                        l0_conds: bool = False,
                        drain_min: int = 0, unroll: int = 1,
                        debug: bool = False, clip=None):
@@ -157,9 +168,17 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
     # then indexes along each ray's dominant axis with no row scan.
     ns = (m >> 7) * (m >> 1)
     ydom = jnp.abs(dy) > jnp.abs(dx)
-    n_recs = 2 * ns if strip_serve else m5 * m5
+    n_recs = (2 * ns if strip_serve
+              else 8 * m5 * m5 if band_serve else m5 * m5)
 
     def key_of(st):
+        if band_serve:
+            # band-granular serving key: 32x4-cell band b of column c is
+            # record 8c + b — the tail's corner gather then needs one
+            # take per channel (march_body.band_gathers)
+            band = (jnp.clip(st["icy"], 0, m - 1) & 31) >> 2
+            return jnp.where(st["alive"] != 0,
+                             column_of(st, m5) * 8 + band, BIG_KEY)
         if not strip_serve:
             return column_of(st, m5)
         icx, icy = st["icx"], st["icy"]
@@ -210,17 +229,25 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
     def start_dmas(sels, base):
         for c, sc in enumerate(sels):
             scc = jnp.minimum(sc, n_recs - 1)
+            if band_serve:
+                # one contiguous (4, 128) copy: the 4 corner-channel rows
+                # of band scc&7 inside column record scc>>3 (band-major
+                # layout, kernels/packing.py)
+                src = columns_hbm.at[scc >> 3,
+                                     pl.ds(CORNER_ROW + 4 * (scc & 7), 4)]
+            else:
+                src = columns_hbm.at[scc]
             dst = (col_scr.at[:, c, :] if subserve
                    else col_scr.at[base + c])
-            pltpu.make_async_copy(columns_hbm.at[scc], dst,
-                                  sems.at[base + c]).start()
+            pltpu.make_async_copy(src, dst, sems.at[base + c]).start()
 
     def wait_dmas(base):
         for c in range(n_serve):
+            src = (columns_hbm.at[0, pl.ds(0, 4)] if band_serve
+                   else columns_hbm.at[0])
             dst = (col_scr.at[:, c, :] if subserve
                    else col_scr.at[base + c])
-            pltpu.make_async_copy(columns_hbm.at[0], dst,
-                                  sems.at[base + c]).wait()
+            pltpu.make_async_copy(src, dst, sems.at[base + c]).wait()
 
     def b_cond(c):
         nin, st = c[0], c[1]
@@ -263,9 +290,14 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
             f0 = (icy & 31) * 32 + (icx & 31)
             cols_now = key_of(st)
             if subserve:
+                bank_masks = [None] + [cols_now == sv for sv in sels[1:]]
+                if band_serve:
+                    corners_fn = band_gathers(col_scr, bank_masks, f0)
+                    return wavefront_step_l0(
+                        st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
+                        gmax, corners_fn, m=m, intersector=intersector)
                 fidx = (jnp.zeros_like(f0) if l0_only
                         else cascade_index(lvl, icx, icy, l32, offs))
-                bank_masks = [None] + [cols_now == sv for sv in sels[1:]]
                 cmax, corners_fn = subserve_gathers(col_scr, bank_masks,
                                                     lvl, fidx, f0,
                                                     l32, CORNER_ROW)
@@ -322,16 +354,8 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                             mine = cols_now == sc
 
                             def gather(c=c, mine=mine, z=z):
-                                g = _multi_gather(
-                                    (col_scr[base + c,
-                                             CORNER_ROW:CORNER_ROW + 8, :],
-                                     col_scr[base + c, CORNER_ROW + 8:
-                                             CORNER_ROW + 16, :],
-                                     col_scr[base + c, CORNER_ROW + 16:
-                                             CORNER_ROW + 24, :],
-                                     col_scr[base + c, CORNER_ROW + 24:
-                                             CORNER_ROW + 32, :]),
-                                    f0)
+                                g = corner_scan(col_scr[base + c], f0,
+                                                CORNER_ROW)
                                 return tuple(jnp.where(mine, g[i], z[i])
                                              for i in range(4))
 
@@ -423,12 +447,13 @@ def _plane_specs(k):
                    static_argnames=("n", "m", "levels", "m5", "l32",
                                     "cell_intersect", "budget", "n_col",
                                     "l0_only", "strip_serve", "subserve",
-                                    "l0_conds",
+                                    "band_serve", "l0_conds",
                                     "drain_min", "unroll", "interpret",
                                     "debug", "clip"))
 def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
                l32, cell_intersect, budget, n_col=2, l0_only=False,
-               strip_serve=False, subserve=False, l0_conds=False,
+               strip_serve=False, subserve=False, band_serve=False,
+               l0_conds=False,
                drain_min=0, unroll=1,
                interpret=False, debug=False, clip=None):
     """One budgeted march sweep over all ray blocks.
@@ -444,10 +469,15 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
              transposed, (rows, 8*n_col, 128), so a record's rows land
              in its sublane's slot of each row slice and one take-scan
              per bank serves 8 records (march_body.subserve_gathers).
+    band_serve (implies l0_only + subserve): serving keys are 32x4-cell
+             BANDS (column*8 + band) and each bank DMA is the band's
+             4 contiguous corner rows — the corner gather is one take
+             per channel (march_body.band_gathers).
     Returns (new_state, new_results).
     """
     assert not (strip_serve and not l0_only)
     assert not (strip_serve and subserve)
+    assert not (band_serve and not (l0_only and subserve))
     P = rays[0].shape[0]
     R = P // 128
     planes = [r.reshape(R, 128) for r in rays] \
@@ -462,14 +492,14 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
         cell_intersect=cell_intersect,
         coarse_cap=24 * levels + 96, budget=budget, inner_cap=256,
         n_col=n_col, l0_only=l0_only, strip_serve=strip_serve,
-        subserve=subserve,
+        subserve=subserve, band_serve=band_serve,
         l0_conds=l0_conds, drain_min=drain_min, unroll=unroll,
         debug=debug, clip=clip)
 
     out_dt = ([jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
               + [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
               + ([jnp.int32] * 6 if debug else []))
-    rec_rows = 8 if strip_serve else COL_ROWS
+    rec_rows = 8 if strip_serve else 4 if band_serve else COL_ROWS
     scr_shape = ((rec_rows, 8 * n_col, 128) if subserve
                  else (n_col, rec_rows, 128))
     n_sems = 8 * n_col if subserve else max(n_col, 2)
@@ -642,6 +672,17 @@ def _column_key(state, m5):
     return jnp.where(alive != 0, coly * m5 + colx, BIG_KEY)
 
 
+def _band_key(state, m5, m):
+    """column*8 + band serving key of the band-granular tail — the same
+    expression as the kernel's key_of in band mode (state at level 0)."""
+    alive, _, _, icx, icy = state
+    icyc = jnp.clip(icy, 0, m - 1)
+    colx = jnp.clip(icx >> 5, 0, m5 - 1)
+    coly = jnp.clip(icyc >> 5, 0, m5 - 1)
+    return jnp.where(alive != 0,
+                     (coly * m5 + colx) * 8 + ((icyc & 31) >> 2), BIG_KEY)
+
+
 def _strip_key(rays, state, m):
     """Dual-axis strip-pair record id per lane — the same expression as
     the kernel's key_of in strip mode (state must be at level 0)."""
@@ -654,19 +695,37 @@ def _strip_key(rays, state, m):
     return jnp.where(alive != 0, jnp.where(ydom, ky, kx), BIG_KEY)
 
 
-def _pack_rows(*planes):
-    """Stack f32/i32 planes into a (P, C) f32 row matrix.
+#: Pack i32 state planes into the f32 sort-row matrix by BITCAST instead
+#: of value conversion. Bitcast would be cheaper (no convert ops on 15
+#: planes x 2.07M rays per sort round) and is exact for any i32, BUT it
+#: STILL miscompiles on real TPU hardware on jax 0.9.0 when fused into
+#: the full render program: the isolated repro
+#: (tools/repros/bitcast_argsort.py) passes, yet with True here the five
+#: hardware compact-vs-oracle tests all fail (hit mismatches; interpret
+#: mode and CPU pass — re-measured 2026-08-17, see BENCH_NOTES platform
+#: hazards). Keep False until a jax upgrade makes the full-scale run
+#: pass; the value conversion is equally exact (march integers < 2^24).
+BITCAST_PACK = False
 
-    Integer planes are VALUE-converted (all march integers — levels, cell
-    coords, masks — are far below 2^24, so the f32 round-trip is exact).
-    Bitcast packing miscompiled on real hardware when fused with the sort
-    gather into one XLA program: resumed state reached the second march
-    pass corrupted. Value conversion sidesteps it and is equally exact.
-    """
+
+def _pack_rows(*planes):
+    """Stack f32/i32 planes into a (P, C) f32 row matrix (see
+    BITCAST_PACK; with it off, integer planes are VALUE-converted — all
+    march integers are far below 2^24 so the f32 round-trip is exact)."""
+    if BITCAST_PACK:
+        return jnp.stack(
+            [p if p.dtype == jnp.float32
+             else jax.lax.bitcast_convert_type(p.astype(jnp.int32),
+                                               jnp.float32)
+             for p in planes], axis=1)
     return jnp.stack([p.astype(jnp.float32) for p in planes], axis=1)
 
 
 def _unpack_rows(rows, dtypes):
+    if BITCAST_PACK:
+        return [rows[:, i] if dt == jnp.float32
+                else jax.lax.bitcast_convert_type(rows[:, i], jnp.int32)
+                for i, dt in enumerate(dtypes)]
     return [rows[:, i].astype(dt) for i, dt in enumerate(dtypes)]
 
 
@@ -675,15 +734,18 @@ def _unpack_rows(rows, dtypes):
                                     "l32", "interpret", "first_budget",
                                     "rounds", "round_budget", "n_col",
                                     "l0_tail", "has_strips", "subserve",
-                                    "l0_conds",
-                                    "drain_min", "unroll", "full_height"))
+                                    "band_tail", "l0_conds",
+                                    "drain_min", "unroll", "full_height",
+                                    "prefixes", "shadow_prefixes"))
 def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                         albedo_b, gmax, *, config: RenderConfig, n, m,
                         levels, m5, l32, interpret, first_budget=96,
                         rounds=3, round_budget=256, n_col=2, l0_tail=False,
-                        has_strips=False, subserve=False, l0_conds=False,
+                        has_strips=False, subserve=False, band_tail=False,
+                        l0_conds=False,
                         drain_min=0,
-                        unroll=1, row0=None, full_height=None):
+                        unroll=1, row0=None, full_height=None,
+                        prefixes=None, shadow_prefixes=None):
     H, W = config.height, config.width
     P = -(-H * W // LANES) * LANES
 
@@ -711,7 +773,8 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
     state_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
     res_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
 
-    def full_march(rays, state, skip_pass0=False, rounds_n=None):
+    def full_march(rays, state, skip_pass0=False, rounds_n=None,
+                   prefixes_n=None):
         """Budgeted march passes with PERIODIC COMPACTION (BASELINE.json:5):
         before every round survivors are argsort'ed by their current
         terrain column — state+results ride in a (P, 15) f32 row matrix so
@@ -727,7 +790,21 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
         primary hit cell, so the screen-order pass (coarse phase +
         budget-0 demand loop) would be a no-op sweep over every block —
         skip it; and shadows converge in ~1 sorted round (BENCH_NOTES),
-        so fewer rounds skip an argsort too."""
+        so fewer rounds skip an argsort too.
+
+        prefixes_n: PREFIX-SLICED rounds — every sort compacts alive
+        lanes to the front of the row matrix (dead lanes key BIG_KEY), so
+        once the population has shrunk, round r can sort AND march only
+        the first prefixes_n[r] rows: the argsort cost scales down with
+        the survivor count and the marched blocks stay dense instead of
+        sweeping ever-deader blocks. Slicing is a pure perf policy, NOT a
+        correctness assumption: an alive lane outside a round's prefix
+        simply does not march that round, and a final GUARD round
+        (appended whenever prefixes_n is set: full population, no sort,
+        unbudgeted) completes any such straggler — when none exist it
+        costs only the near-empty block sweep (~ms). Round 0 always
+        sorts/marches the full population (alive lanes are still in
+        launch order before the first sort)."""
         n_rounds = rounds if rounds_n is None else rounds_n
         P = rays[0].shape[0]
         res = (jnp.zeros(P, jnp.int32), jnp.full(P, BIG_T, jnp.float32),
@@ -739,37 +816,102 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                                     budget=first_budget, n_col=ncols[0],
                                     subserve=subserve, **mkw)
         perm_tot = None
+        if prefixes_n is not None:
+            assert len(prefixes_n) == n_rounds, (prefixes_n, n_rounds)
+            # multiples of the block size; round 0 is always full
+            prefs = [P] + [max(LANES, min(-(-p // LANES) * LANES, P))
+                           for p in prefixes_n[1:]]
+        else:
+            prefs = [P] * n_rounds
         for r in range(n_rounds):
             last = r == n_rounds - 1
-            tail = last and l0_tail
-            if tail:
-                # force level 0 BEFORE the sort so the sort key is the
-                # final-pass serving key (strip record / fine column)
-                state = _force_level0(rays, state, levels)
-            key = (_strip_key(rays, state, m) if tail and has_strips
-                   else _column_key(state, m5))
-            perm = jnp.argsort(key)
-            perm_tot = perm if perm_tot is None else jnp.take(perm_tot, perm)
-            rows = _pack_rows(*rays, *state, *res)
-            rows_s = jnp.take(rows, perm, axis=0)
-            cols = _unpack_rows(rows_s, [jnp.float32] * 6 + state_dts
-                                + res_dts)
-            rays = tuple(cols[:6])
-            state = tuple(cols[6:11])
-            res = tuple(cols[11:])
-            state, res = march_pass(coarse,
-                                    strips if tail and has_strips
-                                    else columns,
-                                    rays, state, res,
-                                    budget=(1 << 22) if last
-                                    else round_budget,
-                                    n_col=ncols[-1] if last
-                                    else ncols[r + 1],
-                                    l0_only=tail,
-                                    strip_serve=tail and has_strips,
-                                    subserve=subserve
-                                    and not (tail and has_strips),
-                                    l0_conds=l0_conds, **mkw)
+            sz = prefs[r]
+            if sz < P:
+                rays_r = tuple(a[:sz] for a in rays)
+                state_r = tuple(a[:sz] for a in state)
+                res_r = tuple(a[:sz] for a in res)
+            else:
+                rays_r, state_r, res_r = rays, state, res
+
+            def sorted_round(args, tail, last=last, r=r):
+                """One sort + march round; `tail` selects the forced-l0
+                serving variant (static — compiles its own kernel)."""
+                rays, state, res = args
+                if tail:
+                    # force level 0 BEFORE the sort so the sort key is
+                    # the final-pass serving key (strip / band / column)
+                    state = _force_level0(rays, state, levels)
+                key = (_strip_key(rays, state, m) if tail and has_strips
+                       else _band_key(state, m5, m) if tail and band_tail
+                       else _column_key(state, m5))
+                perm = jnp.argsort(key)
+                rows = _pack_rows(*rays, *state, *res)
+                rows_s = jnp.take(rows, perm, axis=0)
+                cols = _unpack_rows(rows_s, [jnp.float32] * 6 + state_dts
+                                    + res_dts)
+                rays = tuple(cols[:6])
+                state = tuple(cols[6:11])
+                res = tuple(cols[11:])
+                state, res = march_pass(coarse,
+                                        strips if tail and has_strips
+                                        else columns,
+                                        rays, state, res,
+                                        budget=(1 << 22) if last
+                                        else round_budget,
+                                        n_col=ncols[-1] if last
+                                        else ncols[min(r + 1,
+                                                       len(ncols) - 1)],
+                                        l0_only=tail,
+                                        strip_serve=tail and has_strips,
+                                        subserve=subserve
+                                        and not (tail and has_strips),
+                                        band_serve=tail and band_tail
+                                        and subserve and not has_strips,
+                                        l0_conds=l0_conds, **mkw)
+                return rays, state, res, perm
+
+            if last and l0_tail == "auto" and not has_strips:
+                # ADAPTIVE tail: the forced-l0 kernel (cascade logic
+                # compiled out) wins ~4% when survivors are grazing-
+                # bound (B3: 99.9% of tail work at level 0) but costs
+                # ~2x when they still take pyramid skips (B4 orbit
+                # views, BENCH_NOTES round-2/3). Decide per frame from
+                # the survivors' level mix; both branches are exact, so
+                # the threshold is a pure perf knob.
+                alive = state_r[0] != 0
+                n_alive = jnp.sum(alive.astype(jnp.int32))
+                n_l0 = jnp.sum((alive & (state_r[2] == 0)).astype(jnp.int32))
+                pred = n_l0 > (L0_TAIL_AUTO_THRESH * n_alive.astype(
+                    jnp.float32)).astype(jnp.int32)
+                rays_r, state_r, res_r, perm = jax.lax.cond(
+                    pred,
+                    functools.partial(sorted_round, tail=True),
+                    functools.partial(sorted_round, tail=False),
+                    (rays_r, state_r, res_r))
+            else:
+                rays_r, state_r, res_r, perm = sorted_round(
+                    (rays_r, state_r, res_r), tail=last and l0_tail is True)
+            if sz < P:
+                rays = tuple(jnp.concatenate([a, b[sz:]])
+                             for a, b in zip(rays_r, rays))
+                state = tuple(jnp.concatenate([a, b[sz:]])
+                              for a, b in zip(state_r, state))
+                res = tuple(jnp.concatenate([a, b[sz:]])
+                            for a, b in zip(res_r, res))
+                if perm_tot is None:
+                    perm_tot = jnp.arange(P, dtype=perm.dtype)
+                perm_tot = perm_tot.at[:sz].set(jnp.take(perm_tot[:sz], perm))
+            else:
+                rays, state, res = rays_r, state_r, res_r
+                perm_tot = (perm if perm_tot is None
+                            else jnp.take(perm_tot, perm))
+        if prefixes_n is not None:
+            # GUARD round: full population, no sort, unbudgeted — marches
+            # any alive lane a prefix never covered; near-free when none
+            # exist (every block's demand loop exits immediately)
+            state, res = march_pass(coarse, columns, rays, state, res,
+                                    budget=(1 << 22), n_col=ncols[-1],
+                                    subserve=subserve, **mkw)
         # back to launch order (invert the composed permutation)
         if perm_tot is not None:
             inv = jnp.zeros(P, jnp.int32).at[perm_tot].set(
@@ -780,7 +922,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
 
     hit, t_hit, hx, hy = full_march(rays, _init_state(
         ox, oy, oz, dx, dy, dz, valid0, gmax, n=n, levels=levels,
-        clip=config.clip_box))
+        clip=config.clip_box), prefixes_n=prefixes)
 
     # ---------------- shading data (sorted by hit column) ----------------
     ts = jnp.where(hit, t_hit, 0.0)
@@ -791,7 +933,10 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
     fy = jnp.clip(py - hy.astype(jnp.float32), 0.0, 1.0)
     key_h = jnp.where(hit, (hy >> 5) * m5 + (hx >> 5), BIG_KEY)
     perm_h = jnp.argsort(key_h)
-    inv_h = jnp.argsort(perm_h)
+    # invert by scatter (an argsort of perm_h costs a full second sort;
+    # the scatter is one cheap row write)
+    inv_h = jnp.zeros(P, jnp.int32).at[perm_h].set(
+        jnp.arange(P, dtype=jnp.int32))
     hrows = _pack_rows(hit.astype(jnp.int32), hx, hy, fx, fy)
     hrows_s = jnp.take(hrows, perm_h, axis=0)
     hcols = _unpack_rows(hrows_s, [jnp.int32] * 3 + [jnp.float32] * 2)
@@ -816,8 +961,11 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
         sstate = _init_state(*srays, hit, gmax, n=n, levels=levels,
                              clip=config.clip_box, m=m,
                              start_cell=(hx, hy))
-        shit, _, _, _ = full_march(srays, sstate, skip_pass0=True,
-                                   rounds_n=min(rounds, 2))
+        shit, _, _, _ = full_march(
+            srays, sstate, skip_pass0=True,
+            rounds_n=(len(shadow_prefixes) if shadow_prefixes is not None
+                      else min(rounds, 2)),
+            prefixes_n=shadow_prefixes)
         occ = shit
         diff = jnp.where(occ, 0.0, diff)
 
@@ -858,13 +1006,16 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
 def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          config: RenderConfig, interpret: bool = False,
                          first_budget: int = 0, rounds: int = 2,
-                         round_budget: int = 512, n_col: int = 4,
-                         l0_tail: bool = False,
+                         round_budget: int = 256, n_col: int = 3,
+                         l0_tail: bool | str = "auto",
                          strip_tail: bool = False,
-                         subserve: bool = False,
+                         subserve: bool = True,
+                         band_tail: bool = False,
                          l0_conds: bool = False, drain_min: int = 0,
-                         unroll: int = 4, row0=None,
-                         full_height: int | None = None) -> Frame:
+                         unroll: int = 8, row0=None,
+                         full_height: int | None = None,
+                         round_prefixes: tuple | None = None,
+                         shadow_prefixes: tuple | None = None) -> Frame:
     """Compacted-wavefront render (see module docstring).
 
     first_budget/rounds/round_budget/n_col: compaction schedule — the
@@ -875,20 +1026,38 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     the zero-DMA coarse phase in screen order (budgeted screen-order
     demand loops are DMA-latency-bound on incoherent blocks — measured
     968 ms for round 0 at budget 96 vs ~150 ms coarse-only), then two
-    globally-sorted rounds. Sweep history: (96,3,256,2) 3522 ms,
-    (96,2,384,4) 2882, (0,3,320,4) 2829, (0,2,512,4) 2652, (0,4,256,8)
-    3725 ms.
+    globally-sorted subserve rounds at unroll=8 (BENCH_NOTES round-3:
+    B3 2116 ms, B4 347 ms, vs 2652/706 for the round-2 block-global
+    (0,2,512,4) schedule).
+
+    l0_tail: the forced-level-0 tail kernel wins when survivors are
+    grazing-bound (B3 2038 ms, -4%; B2 100 vs 112) but costs ~2x when
+    they still take pyramid skips (B4 669 vs 347). "auto" (default)
+    picks per frame via lax.cond on the survivors' level mix
+    (L0_TAIL_AUTO_THRESH): measured B3 2087 / B4 340 / B2 100 — the
+    best of both within cond overhead. band_tail (band-granular tail
+    serving) measured 2205-2438 vs 2038 — rejected, see BENCH_NOTES.
+    Sweep history: (96,3,256,2) 3522 ms, (96,2,384,4) 2882, (0,3,320,4)
+    2829, (0,2,512,4) 2652, (0,4,256,8) 3725.
     """
     gmax = scene.pyr_flat[-1]
-    has_strips = strip_tail and l0_tail and packed.strips is not None
+    has_strips = (strip_tail and l0_tail is True
+                  and packed.strips is not None)
     strips = (packed.strips if has_strips
               else jnp.zeros((1, 8, 128), jnp.float32))
+    if round_prefixes is not None:
+        rounds = len(round_prefixes)
+        round_prefixes = tuple(int(p) for p in round_prefixes)
+    if shadow_prefixes is not None:
+        shadow_prefixes = tuple(int(p) for p in shadow_prefixes)
     return _render_compact_jit(
         camera, scene.light, packed.coarse, packed.columns, strips,
         packed.shade, packed.albedo, gmax, config=config, n=scene.n,
         m=scene.m, levels=scene.levels, m5=packed.m5, l32=packed.l32,
         interpret=interpret, first_budget=first_budget, rounds=rounds,
         round_budget=round_budget, n_col=n_col, l0_tail=l0_tail,
-        has_strips=has_strips, subserve=subserve, l0_conds=l0_conds,
+        has_strips=has_strips, subserve=subserve, band_tail=band_tail,
+        l0_conds=l0_conds,
         drain_min=drain_min,
-        unroll=unroll, row0=row0, full_height=full_height)
+        unroll=unroll, row0=row0, full_height=full_height,
+        prefixes=round_prefixes, shadow_prefixes=shadow_prefixes)
