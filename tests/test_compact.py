@@ -239,6 +239,42 @@ def test_compact_adaptive_tail(scene128c):
                       - np.asarray(fo.color)).max() < 5e-5
 
 
+def test_compact_prefix_rounds(scene128c):
+    """Prefix-sliced compaction rounds (round_prefixes/shadow_prefixes):
+    later rounds sort + march only a static front slice of the alive-
+    compacted population; a full-population unbudgeted guard round
+    completes anything a prefix missed, so any prefix schedule — however
+    badly sized — must be pixel-exact. Covers a grazing camera (tail
+    regime), an oblique one with shadows, and deliberately tiny prefixes
+    that force the guard round to do real work."""
+    scene, terr = scene128c
+    n = 128
+    graze = Camera.create(eye=(2.0, n / 2, float(terr.max()) * 1.02),
+                          target=(float(n), n / 2 + 1.0,
+                                  float(terr.max()) * 0.88))
+    cases = [
+        (graze, RenderConfig(width=256, height=16),
+         (0, 4096, 2048), None),
+        (_cam(terr), RenderConfig(width=128, height=32, shading="phong",
+                                  shadows=True),
+         (0, 2048, 1024), (0, 1024)),
+        # pathologically small slices: the guard must finish the frame
+        (_cam(terr), RenderConfig(width=128, height=32, shadows=True),
+         (0, 1024), (0, 1024)),
+    ]
+    for cam, cfg, prefixes, spref in cases:
+        fc = render_frame_compact(scene, scene.packed, cam, cfg,
+                                  interpret=INTERPRET, unroll=UNROLL,
+                                  l0_tail="auto",
+                                  round_prefixes=prefixes,
+                                  shadow_prefixes=spref)
+        fo = render_frame_oracle(scene, cam, cfg)
+        np.testing.assert_array_equal(np.asarray(fc.hit),
+                                      np.asarray(fo.hit))
+        assert np.abs(np.asarray(fc.color)
+                      - np.asarray(fo.color)).max() < 5e-5
+
+
 def test_compact_unroll_parity(scene128c):
     """unroll>1 amortizes the while-loop sync by running several masked
     steps per condition check; act is recomputed each sub-step so the

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--map", type=int, default=4096)
     ap.add_argument("--res", default="1920x1080")
     ap.add_argument("--sched", default="0,2,512,4")
+    ap.add_argument("--prefixes", default="",
+                    help="comma list of per-round population DIVISORS "
+                         "(kernels/compact.py round_prefixes); overrides "
+                         "the sched round count; a full-population guard "
+                         "pass is appended")
     args = ap.parse_args()
     # sched format = sweep_b3's: fb,rounds,rb,ncol,l0,strip,conds,dmin,
     # unroll,sub (strip/conds/dmin ignored here)
@@ -118,7 +123,17 @@ def main():
               f"alive/block={100.0*nal/max(1024*blk_iters,1):5.1f}%",
               flush=True)
 
-    budgets = [fb] + [rb] * (rounds - 1) + [1 << 22]
+    if args.prefixes:
+        # divisor i applies to sorted round i+1 (the first divisor should
+        # be 1: alive lanes are in launch order until the first sort);
+        # the last listed round is unbudgeted, then a full guard pass
+        divs = [int(d) for d in args.prefixes.split(",")]
+        sizes = ([P] + [max(1024, ((P // d) // 1024) * 1024)
+                        for d in divs] + [P])
+        budgets = [fb] + [rb] * (len(divs) - 1) + [1 << 22, 1 << 22]
+    else:
+        budgets = [fb] + [rb] * (rounds - 1) + [1 << 22]
+        sizes = [P] * len(budgets)
 
     for rep, saltv in enumerate([0.0, 1e-4]):
         rays = make_rays(jnp.asarray([saltv, -saltv, saltv], jnp.float32))
@@ -128,19 +143,39 @@ def main():
                jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32))
         if rep == 1:
             print("--- warm, salted repetition ---", flush=True)
+        last_marched = len(budgets) - 1
         for r, budget in enumerate(budgets):
-            tail = l0_tail and r == len(budgets) - 1
-            if r > 0:
-                (rays, state, res), ms = timed(sort_round, state, rays, res,
-                                               force0=tail)
+            guard = args.prefixes and r == len(budgets) - 1
+            tail = l0_tail and r == last_marched - (1 if args.prefixes
+                                                    else 0)
+            sz = sizes[r]
+            if sz < P:
+                rays_r = tuple(a[:sz] for a in rays)
+                state_r = tuple(a[:sz] for a in state)
+                res_r = tuple(a[:sz] for a in res)
+            else:
+                rays_r, state_r, res_r = rays, state, res
+            if r > 0 and not guard:
+                (rays_r, state_r, res_r), ms = timed(
+                    sort_round, state_r, rays_r, res_r, force0=tail)
                 if rep == 1:
-                    print(f"sort {r}: {ms:7.1f} ms", flush=True)
-            (state, res, dbg), ms = timed(
-                C.march_pass, packed.coarse, packed.columns, rays, state,
-                res, budget=budget, l0_only=tail,
+                    print(f"sort {r} ({sz} rows): {ms:7.1f} ms", flush=True)
+            (state_r, res_r, dbg), ms = timed(
+                C.march_pass, packed.coarse, packed.columns, rays_r,
+                state_r, res_r, budget=budget, l0_only=tail,
                 band_serve=tail and band, **mkw)
+            if sz < P:
+                rays = tuple(jnp.concatenate([a, b[sz:]])
+                             for a, b in zip(rays_r, rays))
+                state = tuple(jnp.concatenate([a, b[sz:]])
+                              for a, b in zip(state_r, state))
+                res = tuple(jnp.concatenate([a, b[sz:]])
+                            for a, b in zip(res_r, res))
+            else:
+                rays, state, res = rays_r, state_r, res_r
             if rep == 1:
-                report(f"pass {r} (budget {budget})", state, dbg, ms)
+                report(f"{'guard' if guard else 'pass'} {r} "
+                       f"({sz} rows, budget {budget})", state_r, dbg, ms)
 
     hit = int(np.asarray(res[0]).sum())
     print(f"total hits: {hit} / {H*W}")

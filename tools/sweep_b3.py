@@ -47,7 +47,7 @@ def main():
                          target=(n * 0.5, n * 0.5, float(terr.mean())),
                          fov_y_deg=55.0)
 
-    def run(sched, salt):
+    def run(sched, salt, prefixes=None, spref=None):
         fb, r, rb, nc = sched[:4]
         # 0=off, 1=on, 2=adaptive ("auto")
         l0 = ([False, True, "auto"][int(sched[4])]
@@ -67,21 +67,34 @@ def main():
                                   round_budget=rb, n_col=nc, l0_tail=l0,
                                   strip_tail=strip, l0_conds=conds,
                                   drain_min=dmin, unroll=unroll,
-                                  subserve=sub, band_tail=band)
+                                  subserve=sub, band_tail=band,
+                                  round_prefixes=prefixes,
+                                  shadow_prefixes=spref)
         return float(jnp.sum(fr.color[::16, ::16]))
 
+    P = -(-w * h // 1024) * 1024
+
     for stxt in args.schedules.split():
+        # schedule grammar: "<fields>[/<prefix divisors>[/<shadow divs>]]"
+        # e.g. 0,6,256,3,2,0,0,0,8,1/1,2,4,4,4,4/1,2 — round r sorts and
+        # marches only the first P//div_r rays (kernels/compact.py
+        # round_prefixes); rounds is overridden by the divisor count.
+        parts_txt = stxt.split("/")
+        prefixes = (tuple(P // int(d) for d in parts_txt[1].split(","))
+                    if len(parts_txt) > 1 and parts_txt[1] else None)
+        spref = (tuple(P // int(d) for d in parts_txt[2].split(","))
+                 if len(parts_txt) > 2 and parts_txt[2] else None)
         sched = tuple(
             tuple(int(x) for x in v.split(":")) if ":" in v else int(v)
-            for v in stxt.split(","))
+            for v in parts_txt[0].split(","))
         try:
-            run(sched, jnp.zeros(3, jnp.float32))  # compile
+            run(sched, jnp.zeros(3, jnp.float32), prefixes, spref)  # compile
             times = []
             for rep in range(1, args.reps + 1):
                 salt = jnp.asarray([rep * 1e-4, -rep * 1e-4, rep * 1e-4],
                                    jnp.float32)
                 t0 = time.perf_counter()
-                run(sched, salt)
+                run(sched, salt, prefixes, spref)
                 times.append((time.perf_counter() - t0) * 1e3)
             times.sort()
             print(f"{stxt}: {times[len(times)//2]:.0f} ms  (all: "
