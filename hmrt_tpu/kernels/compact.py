@@ -81,7 +81,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                        coarse_cap: int, budget: int, inner_cap: int,
                        n_col: int, l0_only: bool = False,
                        strip_serve: bool = False, subserve: bool = False,
-                       band_serve: bool = False,
+                       band_serve: int = 0,
                        l0_conds: bool = False,
                        drain_min: int = 0, unroll: int = 1,
                        debug: bool = False, clip=None):
@@ -169,16 +169,19 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
     ns = (m >> 7) * (m >> 1)
     ydom = jnp.abs(dy) > jnp.abs(dx)
     n_recs = (2 * ns if strip_serve
-              else 8 * m5 * m5 if band_serve else m5 * m5)
+              else (32 // band_serve) * m5 * m5 if band_serve
+              else m5 * m5)
 
     def key_of(st):
         if band_serve:
-            # band-granular serving key: 32x4-cell band b of column c is
-            # record 8c + b — the tail's corner gather then needs one
-            # take per channel (march_body.band_gathers)
-            band = (jnp.clip(st["icy"], 0, m - 1) & 31) >> 2
+            # band-granular serving key: the 32 x band_serve-cell band b
+            # of column c is record (32//band_serve)*c + b (gather:
+            # march_body.band_gathers)
+            q = 32 // band_serve
+            sh = band_serve.bit_length() - 1
+            band = (jnp.clip(st["icy"], 0, m - 1) & 31) >> sh
             return jnp.where(st["alive"] != 0,
-                             column_of(st, m5) * 8 + band, BIG_KEY)
+                             column_of(st, m5) * q + band, BIG_KEY)
         if not strip_serve:
             return column_of(st, m5)
         icx, icy = st["icx"], st["icy"]
@@ -230,11 +233,15 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         for c, sc in enumerate(sels):
             scc = jnp.minimum(sc, n_recs - 1)
             if band_serve:
-                # one contiguous (4, 128) copy: the 4 corner-channel rows
-                # of band scc&7 inside column record scc>>3 (band-major
+                # one contiguous (band_rows, 128) copy: the corner rows
+                # of band scc%q inside column record scc//q (band-major
                 # layout, kernels/packing.py)
-                src = columns_hbm.at[scc >> 3,
-                                     pl.ds(CORNER_ROW + 4 * (scc & 7), 4)]
+                q = 32 // band_serve
+                qs = q.bit_length() - 1
+                src = columns_hbm.at[
+                    scc >> qs,
+                    pl.ds(CORNER_ROW + band_serve * (scc & (q - 1)),
+                          band_serve)]
             else:
                 src = columns_hbm.at[scc]
             dst = (col_scr.at[:, c, :] if subserve
@@ -243,7 +250,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
 
     def wait_dmas(base):
         for c in range(n_serve):
-            src = (columns_hbm.at[0, pl.ds(0, 4)] if band_serve
+            src = (columns_hbm.at[0, pl.ds(0, band_serve)] if band_serve
                    else columns_hbm.at[0])
             dst = (col_scr.at[:, c, :] if subserve
                    else col_scr.at[base + c])
@@ -292,7 +299,8 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
             if subserve:
                 bank_masks = [None] + [cols_now == sv for sv in sels[1:]]
                 if band_serve:
-                    corners_fn = band_gathers(col_scr, bank_masks, f0)
+                    corners_fn = band_gathers(col_scr, bank_masks, f0,
+                                              band_rows=band_serve)
                     return wavefront_step_l0(
                         st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
                         gmax, corners_fn, m=m, intersector=intersector)
@@ -452,7 +460,7 @@ def _plane_specs(k):
                                     "debug", "clip"))
 def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
                l32, cell_intersect, budget, n_col=2, l0_only=False,
-               strip_serve=False, subserve=False, band_serve=False,
+               strip_serve=False, subserve=False, band_serve=0,
                l0_conds=False,
                drain_min=0, unroll=1,
                interpret=False, debug=False, clip=None):
@@ -478,6 +486,7 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
     assert not (strip_serve and not l0_only)
     assert not (strip_serve and subserve)
     assert not (band_serve and not (l0_only and subserve))
+    assert band_serve in (0, 4, 8, 16), band_serve
     P = rays[0].shape[0]
     R = P // 128
     planes = [r.reshape(R, 128) for r in rays] \
@@ -499,7 +508,8 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
     out_dt = ([jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
               + [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
               + ([jnp.int32] * 6 if debug else []))
-    rec_rows = 8 if strip_serve else 4 if band_serve else COL_ROWS
+    rec_rows = (8 if strip_serve else band_serve if band_serve
+                else COL_ROWS)
     scr_shape = ((rec_rows, 8 * n_col, 128) if subserve
                  else (n_col, rec_rows, 128))
     n_sems = 8 * n_col if subserve else max(n_col, 2)
@@ -672,15 +682,17 @@ def _column_key(state, m5):
     return jnp.where(alive != 0, coly * m5 + colx, BIG_KEY)
 
 
-def _band_key(state, m5, m):
-    """column*8 + band serving key of the band-granular tail — the same
-    expression as the kernel's key_of in band mode (state at level 0)."""
+def _band_key(state, m5, m, bh=4):
+    """column*(32//bh) + band serving key of the band-granular tail — the
+    same expression as the kernel's key_of in band mode (level-0 state)."""
     alive, _, _, icx, icy = state
     icyc = jnp.clip(icy, 0, m - 1)
     colx = jnp.clip(icx >> 5, 0, m5 - 1)
     coly = jnp.clip(icyc >> 5, 0, m5 - 1)
+    sh = bh.bit_length() - 1
     return jnp.where(alive != 0,
-                     (coly * m5 + colx) * 8 + ((icyc & 31) >> 2), BIG_KEY)
+                     (coly * m5 + colx) * (32 >> sh)
+                     + ((icyc & 31) >> sh), BIG_KEY)
 
 
 def _strip_key(rays, state, m):
@@ -842,7 +854,8 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                     # the final-pass serving key (strip / band / column)
                     state = _force_level0(rays, state, levels)
                 key = (_strip_key(rays, state, m) if tail and has_strips
-                       else _band_key(state, m5, m) if tail and band_tail
+                       else _band_key(state, m5, m, band_tail)
+                       if tail and band_tail
                        else _column_key(state, m5))
                 perm = jnp.argsort(key)
                 rows = _pack_rows(*rays, *state, *res)
@@ -865,8 +878,10 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                                         strip_serve=tail and has_strips,
                                         subserve=subserve
                                         and not (tail and has_strips),
-                                        band_serve=tail and band_tail
-                                        and subserve and not has_strips,
+                                        band_serve=(band_tail
+                                                    if tail and subserve
+                                                    and not has_strips
+                                                    else 0),
                                         l0_conds=l0_conds, **mkw)
                 return rays, state, res, perm
 
@@ -1010,7 +1025,7 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          l0_tail: bool | str = "auto",
                          strip_tail: bool = False,
                          subserve: bool = True,
-                         band_tail: bool = False,
+                         band_tail: bool | int = False,
                          l0_conds: bool = False, drain_min: int = 0,
                          unroll: int = 8, row0=None,
                          full_height: int | None = None,
@@ -1045,6 +1060,7 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                   and packed.strips is not None)
     strips = (packed.strips if has_strips
               else jnp.zeros((1, 8, 128), jnp.float32))
+    band_tail = 4 if band_tail is True else int(band_tail)
     if round_prefixes is not None:
         rounds = len(round_prefixes)
         round_prefixes = tuple(int(p) for p in round_prefixes)

@@ -226,34 +226,45 @@ def subserve_gathers(col_scr, bank_masks, lvl, fidx, f0, l32, corner_row,
     return cmax, corners_fn
 
 
-def band_gathers(col_scr, bank_masks, f0):
+def band_gathers(col_scr, bank_masks, f0, band_rows=4):
     """Per-sublane BAND record corner gathers for the level-0 tail.
 
-    `col_scr` is a (4, 8*nb, 128) scratch: row slice [ch, 8b:8b+8, :]
-    holds corner channel ch of the b-th band record serving each sublane
-    (a band = 4 consecutive cell rows of one 32x32 column — one
-    contiguous (4, 128) DMA under the band-major record layout,
-    kernels/packing.py). The serving key is column*8 + band, so every
-    lane served here has its full corner set in ONE row per channel:
-    the gather is 4 takes + bank selects — the 8-chunk scan of
-    subserve_gathers (32 takes + 32 selects per bank) is gone.
+    A band record is `band_rows` consecutive cell rows of one 32x32
+    column (band_rows in {4, 8, 16}); under the band-major corner layout
+    (kernels/packing.py) its corner rows are CONTIGUOUS, so each bank DMA
+    is one (band_rows, 128) copy. `col_scr` is a (band_rows, 8*nb, 128)
+    scratch: row slice [4k+ch, 8b:8b+8, :] holds corner channel ch of
+    in-band chunk k of the b-th record serving each sublane. The gather
+    scans band_rows//4 chunks x 4 channels per bank — at band_rows=4
+    one take per channel (vs subserve_gathers' 8-chunk scan), at 8 two.
 
-    Values fetched are identical to the column-record path (same packed
-    rows, finer serving granularity), so hit decisions stay bit-exact.
+    The trade is gather ops vs record AREA (serve density): 32x4 bands
+    (1/8 column area) measured 2205-3370 ms on B3 vs 2038 for full
+    columns — lanes exit tiny records too fast; 32x8 (1/4 area) halves
+    that penalty while still cutting the scan 4x. Values fetched are
+    identical to the column-record path, so hit decisions stay bit-exact.
     """
     nb = len(bank_masks)
     col = f0 & 127
+    chunks = band_rows // 4
+    kin = (f0 >> 7) & (chunks - 1) if chunks > 1 else None
 
-    def multi_bank(ch):
-        g = jnp.take_along_axis(col_scr[ch, 0:8, :], col, axis=1)
+    def multi_bank(r):
+        g = jnp.take_along_axis(col_scr[r, 0:8, :], col, axis=1)
         for b in range(1, nb):
-            gb = jnp.take_along_axis(col_scr[ch, 8 * b:8 * b + 8, :],
+            gb = jnp.take_along_axis(col_scr[r, 8 * b:8 * b + 8, :],
                                      col, axis=1)
             g = jnp.where(bank_masks[b], gb, g)
         return g
 
     def corners_fn():
-        return tuple(multi_bank(ch) for ch in range(4))
+        z = [jnp.zeros(f0.shape, jnp.float32) for _ in range(4)]
+        for k in range(chunks):
+            sel = None if chunks == 1 else (kin == k)
+            for ch in range(4):
+                g = multi_bank(4 * k + ch)
+                z[ch] = g if sel is None else jnp.where(sel, g, z[ch])
+        return tuple(z)
 
     return corners_fn
 

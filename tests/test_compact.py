@@ -198,13 +198,16 @@ def test_compact_band_tail(scene128c):
     graze = Camera.create(eye=(2.0, n / 2, float(terr.max()) * 1.02),
                           target=(float(n), n / 2 + 1.0,
                                   float(terr.max()) * 0.88))
-    for cam, cfg in ((graze, RenderConfig(width=256, height=16)),
-                     (_cam(terr),
-                      RenderConfig(width=128, height=32, shading="phong",
-                                   shadows=True))):
+    for bh, (cam, cfg) in [
+            (4, (graze, RenderConfig(width=256, height=16))),
+            (8, (graze, RenderConfig(width=256, height=16))),
+            (8, (_cam(terr),
+                 RenderConfig(width=128, height=32, shading="phong",
+                              shadows=True))),
+            (16, (_cam(terr), RenderConfig(width=128, height=16)))]:
         fc = render_frame_compact(scene, scene.packed, cam, cfg,
                                   interpret=INTERPRET, subserve=True,
-                                  l0_tail=True, band_tail=True,
+                                  l0_tail=True, band_tail=bh,
                                   unroll=UNROLL)
         fo = render_frame_oracle(scene, cam, cfg)
         np.testing.assert_array_equal(np.asarray(fc.hit),

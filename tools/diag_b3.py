@@ -45,7 +45,8 @@ def main():
     l0_tail = bool(parts[4]) if len(parts) > 4 else False
     unroll = parts[8] if len(parts) > 8 else 1
     sub = bool(parts[9]) if len(parts) > 9 else False
-    band = bool(parts[10]) if len(parts) > 10 else False
+    band = int(parts[10]) if len(parts) > 10 else 0
+    band = 4 if band == 1 else band   # legacy bool flag
 
     import dataclasses
 
@@ -91,7 +92,7 @@ def main():
     def sort_round(state, rays, res, force0=False):
         if force0:
             state = C._force_level0(rays, state, scene.levels)
-        key = (C._band_key(state, packed.m5, scene.m) if force0 and band
+        key = (C._band_key(state, packed.m5, scene.m, band) if force0 and band
                else C._column_key(state, packed.m5))
         perm = jnp.argsort(key)
         rows = C._pack_rows(*rays, *state, *res)
@@ -163,7 +164,7 @@ def main():
             (state_r, res_r, dbg), ms = timed(
                 C.march_pass, packed.coarse, packed.columns, rays_r,
                 state_r, res_r, budget=budget, l0_only=tail,
-                band_serve=tail and band, **mkw)
+                band_serve=band if tail else 0, **mkw)
             if sz < P:
                 rays = tuple(jnp.concatenate([a, b[sz:]])
                              for a, b in zip(rays_r, rays))

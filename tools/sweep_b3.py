@@ -57,7 +57,8 @@ def main():
         dmin = int(sched[7]) if len(sched) > 7 else 0
         unroll = int(sched[8]) if len(sched) > 8 else 1
         sub = bool(sched[9]) if len(sched) > 9 else False
-        band = bool(sched[10]) if len(sched) > 10 else False
+        band = int(sched[10]) if len(sched) > 10 else 0
+        band = 4 if band == 1 else band   # legacy bool flag
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
         if isinstance(nc, tuple) and len(nc) == 1:
