@@ -786,7 +786,8 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
     res_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
 
     def full_march(rays, state, skip_pass0=False, rounds_n=None,
-                   prefixes_n=None):
+                   prefixes_n=None, sort_ray_planes=(0, 1, 2, 3, 4, 5),
+                   perm0=None):
         """Budgeted march passes with PERIODIC COMPACTION (BASELINE.json:5):
         before every round survivors are argsort'ed by their current
         terrain column — state+results ride in a (P, 15) f32 row matrix so
@@ -827,7 +828,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
             state, res = march_pass(coarse, columns, rays, state, res,
                                     budget=first_budget, n_col=ncols[0],
                                     subserve=subserve, **mkw)
-        perm_tot = None
+        perm_tot = perm0
         if prefixes_n is not None:
             assert len(prefixes_n) == n_rounds, (prefixes_n, n_rounds)
             # multiples of the block size; round 0 is always full
@@ -845,6 +846,11 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
             else:
                 rays_r, state_r, res_r = rays, state, res
 
+            # perm0: the caller already ordered the lanes (the shadow
+            # march reuses the shade pass's hit-column sort, which is
+            # exactly round 0's key) — skip round 0's own sort
+            do_sort = not (perm0 is not None and r == 0)
+
             def sorted_round(args, tail, last=last, r=r):
                 """One sort + march round; `tail` selects the forced-l0
                 serving variant (static — compiles its own kernel)."""
@@ -853,18 +859,32 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                     # force level 0 BEFORE the sort so the sort key is
                     # the final-pass serving key (strip / band / column)
                     state = _force_level0(rays, state, levels)
+                if not do_sort:
+                    return march_round(rays, state, res, tail) + (None,)
                 key = (_strip_key(rays, state, m) if tail and has_strips
                        else _band_key(state, m5, m, band_tail)
                        if tail and band_tail
                        else _column_key(state, m5))
                 perm = jnp.argsort(key)
-                rows = _pack_rows(*rays, *state, *res)
+                # broadcast ray planes are permutation-invariant and stay
+                # out of the sorted row matrix: primary rays share one
+                # origin (eye), shadow rays one direction (sun) — 12
+                # gathered planes instead of 15 per resort round
+                mov = tuple(rays[i] for i in sort_ray_planes)
+                rows = _pack_rows(*mov, *state, *res)
                 rows_s = jnp.take(rows, perm, axis=0)
-                cols = _unpack_rows(rows_s, [jnp.float32] * 6 + state_dts
+                cols = _unpack_rows(rows_s,
+                                    [jnp.float32] * len(mov) + state_dts
                                     + res_dts)
-                rays = tuple(cols[:6])
-                state = tuple(cols[6:11])
-                res = tuple(cols[11:])
+                nr = len(mov)
+                it = iter(cols[:nr])
+                rays = tuple(next(it) if i in sort_ray_planes else rays[i]
+                             for i in range(6))
+                state = tuple(cols[nr:nr + 5])
+                res = tuple(cols[nr + 5:])
+                return march_round(rays, state, res, tail) + (perm,)
+
+            def march_round(rays, state, res, tail, last=last, r=r):
                 state, res = march_pass(coarse,
                                         strips if tail and has_strips
                                         else columns,
@@ -883,7 +903,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                                                     and not has_strips
                                                     else 0),
                                         l0_conds=l0_conds, **mkw)
-                return rays, state, res, perm
+                return rays, state, res
 
             if last and l0_tail == "auto" and not has_strips:
                 # ADAPTIVE tail: the forced-l0 kernel (cascade logic
@@ -913,13 +933,19 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                               for a, b in zip(state_r, state))
                 res = tuple(jnp.concatenate([a, b[sz:]])
                             for a, b in zip(res_r, res))
-                if perm_tot is None:
-                    perm_tot = jnp.arange(P, dtype=perm.dtype)
-                perm_tot = perm_tot.at[:sz].set(jnp.take(perm_tot[:sz], perm))
             else:
                 rays, state, res = rays_r, state_r, res_r
-                perm_tot = (perm if perm_tot is None
-                            else jnp.take(perm_tot, perm))
+            if perm is not None:
+                if perm_tot is None:
+                    perm_tot = (jnp.arange(P, dtype=jnp.int32) if sz < P
+                                else None)
+                if perm_tot is None:
+                    perm_tot = perm
+                elif sz < P:
+                    perm_tot = perm_tot.at[:sz].set(
+                        jnp.take(perm_tot[:sz], perm))
+                else:
+                    perm_tot = jnp.take(perm_tot, perm)
         if prefixes_n is not None:
             # GUARD round: full population, no sort, unbudgeted — marches
             # any alive lane a prefix never covered; near-free when none
@@ -937,7 +963,8 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
 
     hit, t_hit, hx, hy = full_march(rays, _init_state(
         ox, oy, oz, dx, dy, dz, valid0, gmax, n=n, levels=levels,
-        clip=config.clip_box), prefixes_n=prefixes)
+        clip=config.clip_box), prefixes_n=prefixes,
+        sort_ray_planes=(3, 4, 5))
 
     # ---------------- shading data (sorted by hit column) ----------------
     ts = jnp.where(hit, t_hit, 0.0)
@@ -976,11 +1003,20 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
         sstate = _init_state(*srays, hit, gmax, n=n, levels=levels,
                              clip=config.clip_box, m=m,
                              start_cell=(hx, hy))
+        # shadow rays start at the primary hit cells, whose column order
+        # is exactly the shade pass's hit sort — pre-permute by perm_h
+        # (one 8-plane row gather) and skip the shadow march's round-0
+        # argsort + 12-plane gather entirely (perm0 handles inversion)
+        sp = jnp.take(_pack_rows(*srays[:3], *sstate), perm_h, axis=0)
+        spc = _unpack_rows(sp, [jnp.float32] * 3 + state_dts)
+        srays = tuple(spc[:3]) + srays[3:]
+        sstate = tuple(spc[3:])
         shit, _, _, _ = full_march(
             srays, sstate, skip_pass0=True,
             rounds_n=(len(shadow_prefixes) if shadow_prefixes is not None
                       else min(rounds, 2)),
-            prefixes_n=shadow_prefixes)
+            prefixes_n=shadow_prefixes,
+            sort_ray_planes=(0, 1, 2), perm0=perm_h)
         occ = shit
         diff = jnp.where(occ, 0.0, diff)
 
