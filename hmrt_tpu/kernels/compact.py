@@ -779,6 +779,10 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
     ncols = ((n_col,) * (rounds + 1) if isinstance(n_col, int)
              else tuple(n_col))
     assert len(ncols) == rounds + 1, (ncols, rounds)
+    # round_budget may be per-round: rbs[r] budgets sorted round r (the
+    # last sorted round is always unbudgeted)
+    rbs = ((round_budget,) * max(rounds, 1)
+           if isinstance(round_budget, int) else tuple(round_budget))
     mkw = dict(n=n, m=m, levels=levels, m5=m5, l32=l32,
                cell_intersect=config.cell_intersect, drain_min=drain_min,
                unroll=unroll, interpret=interpret, clip=config.clip_box)
@@ -890,7 +894,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                                         else columns,
                                         rays, state, res,
                                         budget=(1 << 22) if last
-                                        else round_budget,
+                                        else rbs[min(r, len(rbs) - 1)],
                                         n_col=ncols[-1] if last
                                         else ncols[min(r + 1,
                                                        len(ncols) - 1)],
