@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 hardware measurement battery: run serially (one TPU process at
+# a time — the axon tunnel contends) as soon as the tunnel is back.
+# Usage: bash tools/r3_battery.sh [logfile]
+set -u
+LOG=${1:-/tmp/r3_battery.log}
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+
+run() {
+  echo "=== $* ($(date +%H:%M:%S)) ===" >> "$LOG"
+  timeout 2400 python -u "$@" >> "$LOG" 2>&1
+  echo "--- rc=$? ---" >> "$LOG"
+}
+
+: > "$LOG"
+
+# 1) phase anatomy at the shipping defaults (alive trajectory per round
+#    feeds the prefix-schedule design)
+run tools/diag_b3.py --sched 0,2,256,3,1,0,0,0,8,1
+
+# 2) prefix-sliced schedules vs the current default (control first)
+run tools/sweep_b3.py --reps 3 --schedules "\
+0,2,256,3,2,0,0,0,8,1 \
+0,4,256,3,2,0,0,0,8,1/1,2,4,4 \
+0,6,256,3,2,0,0,0,8,1/1,2,4,4,4,4 \
+0,6,512,3,2,0,0,0,8,1/1,2,4,4,4,4 \
+0,8,256,3,2,0,0,0,8,1/1,2,4,4,4,4,4,4"
+
+# 3) band-8 tail (2-chunk corner scan) with and without prefixes; nb sweep
+run tools/sweep_b3.py --reps 3 --schedules "\
+0,2,256,3,1,0,0,0,8,1,8 \
+0,2,256,4,1,0,0,0,8,1,8 \
+0,6,256,3,1,0,0,0,8,1,8/1,2,4,4,4,4 \
+0,6,256,4,1,0,0,0,8,1,8/1,2,4,4,4,4"
+
+# 4) shadow prefixes on a mid-size prefix schedule
+run tools/sweep_b3.py --reps 3 --schedules "\
+0,6,256,3,2,0,0,0,8,1/1,2,4,4,4,4/1,4 \
+0,6,256,3,2,0,0,0,8,1/1,2,4,4,4,4/1,2"
+
+echo "BATTERY DONE $(date)" >> "$LOG"
