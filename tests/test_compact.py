@@ -265,10 +265,13 @@ def test_compact_prefix_rounds(scene128c):
         (_cam(terr), RenderConfig(width=128, height=32, shadows=True),
          (0, 1024), (0, 1024)),
     ]
-    for cam, cfg, prefixes, spref in cases:
+    for i, (cam, cfg, prefixes, spref) in enumerate(cases):
         fc = render_frame_compact(scene, scene.packed, cam, cfg,
                                   interpret=INTERPRET, unroll=UNROLL,
                                   l0_tail="auto",
+                                  # case 0 also combines the 32x8 band
+                                  # tail with prefix slicing
+                                  band_tail=8 if i == 0 else 0,
                                   round_prefixes=prefixes,
                                   shadow_prefixes=spref)
         fo = render_frame_oracle(scene, cam, cfg)
