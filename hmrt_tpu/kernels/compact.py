@@ -13,19 +13,25 @@ compaction architecture:
      ray state: coarse VMEM phase + column demand loop, with a bounded
      per-block iteration budget; unresolved lanes exit with saved state;
   3. PERIODIC COMPACTION: before every round, surviving rays are SORTED
-     by their current terrain column (one argsort + row-gather — ray
-     state AND accumulated hit results ride a (P, 15) f32 row matrix so
-     the permutation is one fast row gather), making every block
-     column-coherent again; rounds are python-unrolled inside one jit
-     (while/scan around pallas_call miscompiled when this was built —
-     tools/repros/) and the last round is unbudgeted, so every ray
-     resolves. A host-adaptive variant that sliced the population to
-     alive-count buckets between rounds measured 2.95 s vs this static
-     schedule's 2.65 s on B3: per-round host syncs + extra dispatches
-     cost more than dead-row slicing saves (BENCH_NOTES.md);
+     by their current terrain column (one argsort + row-gather — the
+     moving ray planes, state AND accumulated hit results ride a
+     (P, 12) f32 row matrix so the permutation is one fast row gather;
+     broadcast planes — the shared eye / the shared sun direction —
+     stay out), making every block column-coherent again; rounds are
+     python-unrolled inside one jit (while/scan around pallas_call
+     miscompiled when this was built — tools/repros/) and the last
+     round is unbudgeted, so every ray resolves. Because each sort
+     compacts alive lanes to the FRONT, rounds can be PREFIX-SLICED
+     (round_prefixes): sort+march only a static front slice, with a
+     full-population unbudgeted guard round completing any straggler a
+     prefix missed — dead-row slicing without the per-round host syncs
+     that sank the round-2 host-adaptive variant (2.95 s vs 2.65 s,
+     BENCH_NOTES.md);
   4. hits are sorted by hit column once more for the SHADE PASS (corner
-     gradients + albedo fetched per column), shadow rays reuse that same
-     ordering, and the final color math is plain fused XLA elementwise.
+     gradients + albedo fetched per column), the shadow march starts
+     pre-permuted in that same ordering (its round-0 sort would
+     recompute it), and the final color math is plain fused XLA
+     elementwise.
 
 Exactness: the march body is the same shared traversal math; results are
 bit-identical to the fused kernel and the oracle (tests/test_compact.py).
