@@ -754,7 +754,8 @@ def _unpack_rows(rows, dtypes):
                                     "l0_tail", "has_strips", "subserve",
                                     "band_tail", "l0_conds",
                                     "drain_min", "unroll", "full_height",
-                                    "prefixes", "shadow_prefixes"))
+                                    "prefixes", "shadow_prefixes",
+                                    "entry_sort"))
 def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                         albedo_b, gmax, *, config: RenderConfig, n, m,
                         levels, m5, l32, interpret, first_budget=96,
@@ -763,7 +764,8 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                         l0_conds=False,
                         drain_min=0,
                         unroll=1, row0=None, full_height=None,
-                        prefixes=None, shadow_prefixes=None):
+                        prefixes=None, shadow_prefixes=None,
+                        entry_sort=False):
     H, W = config.height, config.width
     P = -(-H * W // LANES) * LANES
 
@@ -797,7 +799,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
 
     def full_march(rays, state, skip_pass0=False, rounds_n=None,
                    prefixes_n=None, sort_ray_planes=(0, 1, 2, 3, 4, 5),
-                   perm0=None):
+                   perm0=None, entry_key=False):
         """Budgeted march passes with PERIODIC COMPACTION (BASELINE.json:5):
         before every round survivors are argsort'ed by their current
         terrain column — state+results ride in a (P, 15) f32 row matrix so
@@ -871,10 +873,29 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                     state = _force_level0(rays, state, levels)
                 if not do_sort:
                     return march_round(rays, state, res, tail) + (None,)
-                key = (_strip_key(rays, state, m) if tail and has_strips
-                       else _band_key(state, m5, m, band_tail)
-                       if tail and band_tail
-                       else _column_key(state, m5))
+                if entry_key and r == 0:
+                    # pass-0 fusion: no screen-order sweep ran, so lanes
+                    # still sit in the (shared) top pyramid cell — key
+                    # round 0 by the terrain column of each ray's
+                    # LEVEL-0 ENTRY cell instead of its current cell.
+                    # Sorted blocks then share their entry region, so
+                    # the coarse descent runs column-coherent inside
+                    # round 0's march (correctness is unaffected — the
+                    # key only picks who shares a block).
+                    rox, roy, _, rdx, rdy, _ = rays
+                    et0, _, _ = ray_box_range(rox, roy, rdx, rdy,
+                                              float(n - 1),
+                                              config.clip_box)
+                    zl = jnp.zeros(rox.shape, jnp.int32)
+                    ex, ey = entry_cell(rox, roy, rdx, rdy, et0, zl, m)
+                    key = jnp.where(state[0] != 0,
+                                    (ey >> 5) * m5 + (ex >> 5), BIG_KEY)
+                else:
+                    key = (_strip_key(rays, state, m)
+                           if tail and has_strips
+                           else _band_key(state, m5, m, band_tail)
+                           if tail and band_tail
+                           else _column_key(state, m5))
                 perm = jnp.argsort(key)
                 # broadcast ray planes are permutation-invariant and stay
                 # out of the sorted row matrix: primary rays share one
@@ -974,7 +995,8 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
     hit, t_hit, hx, hy = full_march(rays, _init_state(
         ox, oy, oz, dx, dy, dz, valid0, gmax, n=n, levels=levels,
         clip=config.clip_box), prefixes_n=prefixes,
-        sort_ray_planes=(3, 4, 5))
+        sort_ray_planes=(3, 4, 5),
+        skip_pass0=entry_sort, entry_key=entry_sort)
 
     # ---------------- shading data (sorted by hit column) ----------------
     ts = jnp.where(hit, t_hit, 0.0)
@@ -1076,7 +1098,8 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          unroll: int = 8, row0=None,
                          full_height: int | None = None,
                          round_prefixes: tuple | None = None,
-                         shadow_prefixes: tuple | None = None) -> Frame:
+                         shadow_prefixes: tuple | None = None,
+                         entry_sort: bool = False) -> Frame:
     """Compacted-wavefront render (see module docstring).
 
     first_budget/rounds/round_budget/n_col: compaction schedule — the
@@ -1122,4 +1145,5 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
         l0_conds=l0_conds,
         drain_min=drain_min,
         unroll=unroll, row0=row0, full_height=full_height,
-        prefixes=round_prefixes, shadow_prefixes=shadow_prefixes)
+        prefixes=round_prefixes, shadow_prefixes=shadow_prefixes,
+        entry_sort=entry_sort)

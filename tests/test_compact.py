@@ -281,6 +281,27 @@ def test_compact_prefix_rounds(scene128c):
                       - np.asarray(fo.color)).max() < 5e-5
 
 
+def test_compact_entry_sort(scene128c):
+    """entry_sort=True fuses pass 0 into round 0: no screen-order sweep,
+    round 0 is keyed by each ray's level-0 ENTRY cell column instead of
+    its post-descent column. Pure serving policy — pixel-exact; covers
+    shadows and combination with prefixes."""
+    scene, terr = scene128c
+    for cfg, prefixes in [
+            (RenderConfig(width=256, height=64, shading="phong"), None),
+            (RenderConfig(width=128, height=32, shadows=True),
+             (0, 2048, 2048))]:
+        fc = render_frame_compact(scene, scene.packed, _cam(terr), cfg,
+                                  interpret=INTERPRET, unroll=UNROLL,
+                                  entry_sort=True, l0_tail="auto",
+                                  round_prefixes=prefixes)
+        fo = render_frame_oracle(scene, _cam(terr), cfg)
+        np.testing.assert_array_equal(np.asarray(fc.hit),
+                                      np.asarray(fo.hit))
+        assert np.abs(np.asarray(fc.color)
+                      - np.asarray(fo.color)).max() < 5e-5
+
+
 def test_compact_unroll_parity(scene128c):
     """unroll>1 amortizes the while-loop sync by running several masked
     steps per condition check; act is recomputed each sub-step so the

@@ -39,4 +39,9 @@ run tools/sweep_b3.py --reps 3 --schedules "\
 0,6,256,3,2,0,0,0,8,1/1,2,4,4,4,4/1,4 \
 0,6,256,3,2,0,0,0,8,1/1,2,4,4,4,4/1,2"
 
+# 5) pass-0 fusion via entry-cell sort (field 12), alone and with prefixes
+run tools/sweep_b3.py --reps 3 --schedules "\
+0,2,256,3,2,0,0,0,8,1,0,1 \
+0,6,256,3,2,0,0,0,8,1,0,1/1,2,4,4,4,4"
+
 echo "BATTERY DONE $(date)" >> "$LOG"

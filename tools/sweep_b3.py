@@ -59,6 +59,7 @@ def main():
         sub = bool(sched[9]) if len(sched) > 9 else False
         band = int(sched[10]) if len(sched) > 10 else 0
         band = 4 if band == 1 else band   # legacy bool flag
+        entry = bool(sched[11]) if len(sched) > 11 else False
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
         if isinstance(nc, tuple) and len(nc) == 1:
@@ -70,7 +71,8 @@ def main():
                                   drain_min=dmin, unroll=unroll,
                                   subserve=sub, band_tail=band,
                                   round_prefixes=prefixes,
-                                  shadow_prefixes=spref)
+                                  shadow_prefixes=spref,
+                                  entry_sort=entry)
         return float(jnp.sum(fr.color[::16, ::16]))
 
     P = -(-w * h // 1024) * 1024
