@@ -45,13 +45,21 @@ def main():
         terr = procedural_terrain(n, seed=3)
         scene = make_scene(terr)
         zmax = float(terr.max())
+        P = -(-bc.render.height * bc.render.width // 1024) * 1024
+        variants_w = variants + [
+            ("prefix/1,2,4,4", {"round_prefixes": (P, P // 2, P // 4,
+                                                   P // 4)}),
+            ("entry+prefix", {"entry_sort": True,
+                              "round_prefixes": (P, P // 2, P // 4,
+                                                 P // 4)}),
+        ]
         # orbit-style camera (B4's flythrough regime: oblique, pyramid-
         # friendly) at the config's resolution
         cfg = dataclasses.replace(bc.render, backend="compact")
         cam0 = Camera.create(eye=(n * 0.8, n * 0.2, zmax * 1.6),
                              target=(n * 0.5, n * 0.5, float(terr.mean())),
                              fov_y_deg=45.0)
-        for label, kw in variants:
+        for label, kw in variants_w:
             def run(salt):
                 cam = Camera(eye=cam0.eye + salt, target=cam0.target,
                              up=cam0.up, fov_y=cam0.fov_y)
