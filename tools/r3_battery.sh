@@ -44,4 +44,7 @@ run tools/sweep_b3.py --reps 3 --schedules "\
 0,2,256,3,2,0,0,0,8,1,0,1 \
 0,6,256,3,2,0,0,0,8,1,0,1/1,2,4,4,4,4"
 
+# 6) B2/B4 regression check of the candidate defaults
+run tools/check_b2b4.py
+
 echo "BATTERY DONE $(date)" >> "$LOG"
