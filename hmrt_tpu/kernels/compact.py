@@ -1120,9 +1120,23 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     picks per frame via lax.cond on the survivors' level mix
     (L0_TAIL_AUTO_THRESH): measured B3 2087 / B4 340 / B2 100 — the
     best of both within cond overhead. band_tail (band-granular tail
-    serving) measured 2205-2438 vs 2038 — rejected, see BENCH_NOTES.
+    serving; value = band height in cell rows, legacy True == 4):
+    32x4 bands measured 2205-2438 vs 2038 — rejected; 32x8 halves the
+    record-area penalty at a 4x cheaper corner scan (see BENCH_NOTES).
     Sweep history: (96,3,256,2) 3522 ms, (96,2,384,4) 2882, (0,3,320,4)
     2829, (0,2,512,4) 2652, (0,4,256,8) 3725.
+
+    round_prefixes/shadow_prefixes: per-round population prefixes for
+    the primary/shadow march — round r sorts and marches only the first
+    round_prefixes[r] rays (each sort compacts alive lanes to the
+    front; a full-population unbudgeted guard round completes anything
+    a prefix missed, so any schedule is exact). Overrides `rounds` with
+    its length. round_budget may be a per-round tuple.
+
+    entry_sort: fuse the screen-order pass into round 0 by sorting on
+    each ray's level-0 ENTRY-cell column (no march needed for the key);
+    the coarse descent then runs on entry-coherent blocks inside
+    round 0.
     """
     gmax = scene.pyr_flat[-1]
     has_strips = (strip_tail and l0_tail is True
