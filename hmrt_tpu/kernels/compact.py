@@ -1144,6 +1144,14 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     strips = (packed.strips if has_strips
               else jnp.zeros((1, 8, 128), jnp.float32))
     band_tail = 4 if band_tail is True else int(band_tail)
+    P = -(-config.height * config.width // LANES) * LANES
+    if round_prefixes == "auto":
+        # shrink-with-survivors policy: full first sorted round, then
+        # halving slices with a long 1/4 tail (the guard round makes any
+        # sizing exact — mis-sized slices only shift work to it)
+        round_prefixes = (P, P // 2, P // 4, P // 4, P // 4)
+    if shadow_prefixes == "auto":
+        shadow_prefixes = (P, P // 4)
     if round_prefixes is not None:
         rounds = len(round_prefixes)
         round_prefixes = tuple(int(p) for p in round_prefixes)
