@@ -16,10 +16,13 @@ from hmrt_tpu.types import Camera
 
 
 def run_bench(name: str, frames: int | None = None, scale: float = 1.0,
-              reps: int = 3) -> dict:
+              reps: int = 3, frame_sharded: bool = False) -> dict:
     """Run one named benchmark config; returns a metric row dict.
 
     `scale` < 1 shrinks the framebuffer (CI smoke mode, SURVEY.md 4.5).
+    `frame_sharded`: for animated configs on a multi-chip mesh, shard the
+    FRAME axis (distrib.mesh.render_flythrough_sharded) instead of timing
+    single-chip — the natural B4 scaling strategy.
     """
     cfg = BENCH_CONFIGS[name]
     render = cfg.render
@@ -30,6 +33,12 @@ def run_bench(name: str, frames: int | None = None, scale: float = 1.0,
             height=max(64, int(render.height * scale) // 64 * 64),
         )
     n_frames = frames or cfg.frames
+    frame_sharded = (cfg.animated and frame_sharded
+                     and len(jax.devices()) > 1)
+    if frame_sharded:
+        # the frame axis must divide the mesh: round the count to it
+        ndev = len(jax.devices())
+        n_frames = max(ndev, n_frames // ndev * ndev)
 
     t_setup = time.perf_counter()
     scene, cam, terr = bench_scene(cfg)
@@ -57,7 +66,17 @@ def run_bench(name: str, frames: int | None = None, scale: float = 1.0,
         hit_frac = float(np.asarray(fr.hit).mean())
 
     note = None
-    if cfg.sharded and len(jax.devices()) > 1:
+    strategy = None
+    if frame_sharded:
+        from hmrt_tpu.distrib.mesh import make_mesh, replicate_scene
+        from hmrt_tpu.distrib.bench import time_flythrough_frames
+        mesh = make_mesh(axis_name="frames")
+        scene = replicate_scene(scene, mesh)
+        stats = time_flythrough_frames(scene, cams, render, n_frames,
+                                       mesh, reps=reps, hit_frac=hit_frac)
+        chips = len(jax.devices())
+        strategy = "frame-dp"
+    elif cfg.sharded and len(jax.devices()) > 1:
         from hmrt_tpu.distrib.mesh import make_mesh, replicate_scene
         from hmrt_tpu.distrib.bench import time_animation_sharded
         mesh = make_mesh()
@@ -86,6 +105,8 @@ def run_bench(name: str, frames: int | None = None, scale: float = 1.0,
     }
     if hit_frac is not None:
         row["hit_frac"] = round(hit_frac, 4)
+    if strategy:
+        row["strategy"] = strategy
     if note:
         row["note"] = note
     return row
@@ -99,6 +120,9 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=None)
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--frame-sharded", action="store_true",
+                   help="shard animated configs over the frame axis "
+                        "(multi-chip B4 strategy)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace here (SURVEY.md sec. 5)")
     args = p.parse_args(argv)
@@ -106,7 +130,7 @@ def main(argv=None):
     for name in args.configs:
         with maybe_trace(args.profile_dir):
             row = run_bench(name, frames=args.frames, scale=args.scale,
-                            reps=args.reps)
+                            reps=args.reps, frame_sharded=args.frame_sharded)
         print(json.dumps(row))
 
 

@@ -48,7 +48,9 @@ def build_parser():
     p.add_argument("--flythrough", type=int, default=0, metavar="FRAMES",
                    help="render an orbiting flythrough to <output>.npy")
     p.add_argument("--sharded", action="store_true",
-                   help="shard the framebuffer over all devices")
+                   help="shard over all devices: the framebuffer "
+                        "(row bands) for stills, the frame axis for "
+                        "--flythrough")
     p.add_argument("--backend", choices=["auto", "oracle", "pallas", "compact"],
                    default="auto")
     p.add_argument("--zscale", type=float, default=None)
@@ -120,15 +122,25 @@ def main(argv=None):
             return 2
         from hmrt_tpu.api.flythrough import orbit_flythrough, frame_camera
         cams = orbit_flythrough(n, zmax, args.flythrough)
-        frames = []
         t0 = time.time()
-        for i in range(args.flythrough):
-            fr = H.render_frame(scene, frame_camera(cams, i), cfg)
-            frames.append(np.asarray(fr.color))
+        if args.sharded:
+            # frame-axis DP: whole frames per chip, one device program
+            from hmrt_tpu.distrib.mesh import (make_mesh, replicate_scene,
+                                               render_flythrough_sharded)
+            mesh = make_mesh(axis_name="frames")
+            sc = replicate_scene(scene, mesh)
+            stack = np.asarray(
+                render_flythrough_sharded(sc, cams, cfg, mesh))
+        else:
+            frames = []
+            for i in range(args.flythrough):
+                fr = H.render_frame(scene, frame_camera(cams, i), cfg)
+                frames.append(np.asarray(fr.color))
+            stack = np.stack(frames)
         dt = time.time() - t0
         out = args.output if args.output.endswith(".npy") else args.output + ".npy"
-        np.save(out, np.stack(frames))
-        print(f"wrote {len(frames)} frames to {out} "
+        np.save(out, stack)
+        print(f"wrote {len(stack)} frames to {out} "
               f"({dt / args.flythrough * 1e3:.1f} ms/frame incl. host loop)")
         return 0
 

@@ -29,3 +29,24 @@ def time_animation_sharded(scene: Scene, cams: Camera, config: RenderConfig,
 
     return time_animation(scene, cams, config, n_frames, reps=reps,
                           render_scan=loop, hit_frac=hit_frac)
+
+
+def time_flythrough_frames(scene: Scene, cams: Camera, config: RenderConfig,
+                           n_frames: int, mesh, reps: int = 3,
+                           hit_frac: float | None = None) -> dict:
+    """Animation throughput with the FRAME axis sharded over the mesh
+    (mesh.render_flythrough_sharded): all frames render as one device
+    program, n_chips at a time, zero per-frame ICI traffic — the natural
+    multi-chip strategy for the B4 flythrough workload."""
+    from hmrt_tpu.distrib.mesh import render_flythrough_sharded
+
+    def scan(scene, cams, salt, config, n_frames):
+        cams2 = Camera(eye=cams.eye + salt, target=cams.target, up=cams.up,
+                       fov_y=cams.fov_y)
+        colors = render_flythrough_sharded(scene, cams2, config, mesh)
+        # reduce instead of gather: timing measures render throughput, not
+        # host assembly (same salted value-fetch discipline as timing.py)
+        return jnp.sum(colors[:, ::16, ::16])
+
+    return time_animation(scene, cams, config, n_frames, reps=reps,
+                          render_scan=scan, hit_frac=hit_frac)

@@ -85,6 +85,85 @@ def render_frame_sharded(scene: Scene, camera: Camera, config: RenderConfig,
                                use_compact=use_compact)
 
 
+def render_flythrough_sharded(scene: Scene, cams: Camera,
+                              config: RenderConfig, mesh: Mesh | None = None,
+                              use_pallas: bool | None = None) -> jnp.ndarray:
+    """Frame-parallel animation rendering (C8 x C27): shard the flythrough's
+    FRAME axis over the mesh instead of the framebuffer.
+
+    For a scripted animation (BASELINE.json:10) the frame axis is as
+    embarrassingly parallel as the pixel domain, and sharding it is
+    strictly cheaper than band-sharding every frame: each chip renders
+    whole frames against its replicated scene with ZERO per-frame ICI
+    traffic — the only cross-chip movement is assembling the output
+    stack, which `out_specs=P("frames")` leaves sharded in HBM until the
+    host (or a downstream op) actually consumes it. Per-chip rendering is
+    the same single-device dispatch as `core.renderer.render_frame`
+    (oracle / fused kernel / compact backend), scanned over the chip's
+    local frames in one device program.
+
+    cams: batched Camera (leading frame axis, e.g. from
+    `api.flythrough.flythrough`); the frame count must divide the mesh
+    size. Returns the color stack, logically (F, H, W, 3), sharded over
+    frames. Pixel-identical to rendering each frame on one device
+    (tests/test_sharded.py).
+    """
+    if mesh is None:
+        mesh = make_mesh(axis_name="frames")
+    ndev = mesh.devices.size
+    F = int(cams.eye.shape[0])
+    if F % ndev != 0:
+        raise ValueError(f"frame count {F} must divide evenly over "
+                         f"{ndev} devices")
+    if use_pallas is None:
+        use_pallas = (config.backend != "oracle" and scene.packed is not None
+                      and jax.default_backend() == "tpu")
+    use_compact = (use_pallas and scene.packed is not None
+                   and (config.backend == "compact"
+                        or (config.backend == "auto" and scene.m >= 1024)))
+    return _render_fly_jit(scene, cams, config, mesh,
+                           use_pallas=use_pallas, use_compact=use_compact)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "use_pallas",
+                                   "use_compact"))
+def _render_fly_jit(scene: Scene, cams: Camera, config: RenderConfig,
+                    mesh: Mesh, use_pallas: bool = False,
+                    use_compact: bool = False) -> jnp.ndarray:
+    axis = mesh.axis_names[0]
+    interpret = jax.default_backend() != "tpu"
+
+    def render_one(scene_rep, cam):
+        if use_compact:
+            from hmrt_tpu.kernels.compact import render_frame_compact
+            return render_frame_compact(
+                scene_rep, scene_rep.packed, cam, config,
+                interpret=interpret,
+                # see render_frame_sharded: unroll is bit-identical but
+                # ~4x slower under the CI interpreter
+                unroll=1 if interpret else 8).color
+        if use_pallas:
+            from hmrt_tpu.kernels.raycast import render_frame_pallas
+            return render_frame_pallas(scene_rep, scene_rep.packed, cam,
+                                       config, interpret=interpret).color
+        from hmrt_tpu.core.renderer import render_frame_oracle
+        return render_frame_oracle(scene_rep, cam, config).color
+
+    def chip(scene_rep, cams_local):
+        # one device program per chip: scan over its local frames
+        # (scan-of-pallas passes the full-scale retest on jax 0.9.0 —
+        # tools/repros/scan_of_compact_fullscale.py; bench/timing.py
+        # made it the default again)
+        def step(carry, cam):
+            return carry, render_one(scene_rep, cam)
+        _, colors = jax.lax.scan(step, jnp.float32(0.0), cams_local)
+        return colors
+
+    fn = shard_map(chip, mesh=mesh, in_specs=(P(), P(axis)),
+                   out_specs=P(axis), check_vma=False)
+    return fn(scene, cams)
+
+
 @partial(jax.jit, static_argnames=("config", "mesh", "use_pallas",
                                    "use_compact"))
 def _render_sharded_jit(scene: Scene, camera: Camera, config: RenderConfig,

@@ -94,3 +94,61 @@ def test_uneven_height_raises(scene64, camera64):
     with pytest.raises(ValueError):
         render_frame_sharded(scene64, camera64,
                              RenderConfig(width=16, height=17), mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_flythrough_frame_sharded(scene64):
+    """Frame-axis DP (render_flythrough_sharded): the sharded animation
+    stack equals per-frame single-device renders, frame for frame."""
+    from hmrt_tpu.api.flythrough import frame_camera, orbit_flythrough
+    from hmrt_tpu.distrib.mesh import render_flythrough_sharded
+    ndev = len(jax.devices())
+    mesh = make_mesh(axis_name="frames")
+    sc = replicate_scene(scene64, mesh)
+    zmax = float(np.asarray(scene64.heights).max())
+    F = 2 * ndev  # two scan steps per chip
+    cams = orbit_flythrough(64, zmax, F)
+    cfg = RenderConfig(width=32, height=24, shading="phong", shadows=True,
+                       fog=True)
+    stack = np.asarray(render_flythrough_sharded(sc, cams, cfg, mesh))
+    assert stack.shape == (F, 24, 32, 3)
+    for i in (0, 1, ndev, F - 1):  # first/second local frame, chip 1, last
+        fr = render_frame(scene64, frame_camera(cams, i), cfg)
+        # float-ulp wiggle: XLA fuses the shade differently under
+        # scan+shard_map (same note as the band-path tests above; the
+        # Phong rsqrt/pow chain amplifies to a few ulp on grazing pixels)
+        np.testing.assert_allclose(stack[i], np.asarray(fr.color), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_flythrough_frame_sharded_kernel(scene64):
+    """Frame-axis DP at the production backend: scan-of-compact inside
+    shard_map (interpret mode on the CPU mesh) == single-device compact."""
+    from hmrt_tpu.api.flythrough import frame_camera, orbit_flythrough
+    from hmrt_tpu.distrib.mesh import render_flythrough_sharded
+    from hmrt_tpu.kernels.compact import render_frame_compact
+    ndev = len(jax.devices())
+    mesh = make_mesh(axis_name="frames")
+    sc = replicate_scene(scene64, mesh)
+    zmax = float(np.asarray(scene64.heights).max())
+    cams = orbit_flythrough(64, zmax, ndev)
+    cfg = RenderConfig(width=32, height=16, shading="phong", shadows=True,
+                       backend="compact")
+    stack = np.asarray(render_flythrough_sharded(sc, cams, cfg, mesh,
+                                                 use_pallas=True))
+    i = ndev // 2
+    fr = render_frame_compact(scene64, scene64.packed,
+                              frame_camera(cams, i), cfg, interpret=True,
+                              unroll=1)
+    np.testing.assert_allclose(stack[i], np.asarray(fr.color), atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_flythrough_uneven_frames_raises(scene64):
+    from hmrt_tpu.api.flythrough import orbit_flythrough
+    from hmrt_tpu.distrib.mesh import render_flythrough_sharded
+    mesh = make_mesh(axis_name="frames")
+    cams = orbit_flythrough(64, 10.0, len(jax.devices()) + 1)
+    with pytest.raises(ValueError):
+        render_flythrough_sharded(scene64, cams,
+                                  RenderConfig(width=16, height=16), mesh)
