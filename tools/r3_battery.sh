@@ -47,4 +47,8 @@ run tools/sweep_b3.py --reps 3 --schedules "\
 # 6) B2/B4 regression check of the candidate defaults
 run tools/check_b2b4.py
 
+# 7) out-of-core B4-scale frame time (VERDICT r2 next #5): 8192^2 raw
+#    mmap, 2048-cell tiles, culled, with shadows
+run tools/bench_ooc.py --reps 1 --shadows
+
 echo "BATTERY DONE $(date)" >> "$LOG"
