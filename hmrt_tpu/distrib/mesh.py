@@ -111,6 +111,10 @@ def render_flythrough_sharded(scene: Scene, cams: Camera,
     if mesh is None:
         mesh = make_mesh(axis_name="frames")
     ndev = mesh.devices.size
+    if cams.eye.ndim != 2:
+        raise ValueError("cams must be a batched Camera (leading frame "
+                         "axis, e.g. from api.flythrough.flythrough); "
+                         f"got eye shape {cams.eye.shape}")
     F = int(cams.eye.shape[0])
     if F % ndev != 0:
         raise ValueError(f"frame count {F} must divide evenly over "
