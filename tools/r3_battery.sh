@@ -51,4 +51,8 @@ run tools/check_b2b4.py
 #    mmap, 2048-cell tiles, culled, with shadows
 run tools/bench_ooc.py --reps 1 --shadows
 
+# 8) sharded program shapes compiled by Mosaic on the real chip
+#    (1-device mesh): band path + frame-axis DP vs unsharded
+run tools/check_sharded_tpu.py
+
 echo "BATTERY DONE $(date)" >> "$LOG"
