@@ -30,9 +30,19 @@ def get_lib():
     try:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, "-lz"],
-                check=True, capture_output=True, timeout=120)
+            # -ffp-contract=off: no FMA contraction — terrain_fbm must
+            # round every f32 multiply/add exactly like numpy to stay
+            # bit-identical to the Python spec
+            cmd = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                   "-fopenmp", "-o", _SO, _SRC, "-lz"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+            except subprocess.CalledProcessError:
+                # toolchains without libgomp still get the serial build
+                cmd.remove("-fopenmp")
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
         lib = ctypes.CDLL(_SO)
         lib.png_unfilter.restype = ctypes.c_int
         lib.png_unfilter.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -52,10 +62,36 @@ def get_lib():
         lib.build_pyramid_host.restype = ctypes.c_int64
         lib.build_pyramid_host.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                            ctypes.c_void_p, ctypes.c_float]
+        lib.terrain_fbm.restype = ctypes.c_int
+        lib.terrain_fbm.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int, ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None
     return _lib
+
+
+def terrain_fbm(n: int, grids: list, cells: list, amps: list,
+                ridged: bool):
+    """Native fBm octave accumulation (bit-identical to the numpy path in
+    io/heightmap.py, OpenMP over rows); None if native lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    flat = np.concatenate([np.ascontiguousarray(g, np.float32).ravel()
+                           for g in grids])
+    sizes = np.array([g.size for g in grids], np.int64)
+    offs = np.zeros(len(grids), np.int64)
+    offs[1:] = np.cumsum(sizes[:-1])
+    cells_arr = np.asarray(cells, np.int64)
+    amps_arr = np.asarray(amps, np.float64)
+    out = np.empty((n, n), np.float32)
+    lib.terrain_fbm(flat.ctypes.data, offs.ctypes.data,
+                    cells_arr.ctypes.data, amps_arr.ctypes.data,
+                    len(grids), n, int(bool(ridged)), out.ctypes.data)
+    return out
 
 
 def png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int):

@@ -200,4 +200,65 @@ int64_t build_pyramid_host(const float* heights, int64_t n, float* out,
     return m;
 }
 
+// fBm value-noise terrain accumulation, BIT-IDENTICAL to the numpy path
+// in io/heightmap.py (procedural_terrain / _value_noise_grid): the
+// random octave grids are drawn in Python (tiny), this evaluates the
+// bicubic-smoothstep interpolation + ridge + amp accumulation per pixel
+// with the exact same operation order and PRECISION as numpy —
+// `f = t - i` is float32 minus int32, which numpy promotes to float64,
+// so the whole interpolation runs in double and rounds to float32 once
+// per octave at the `acc += amp * layer` in-place add. Parallel over
+// rows. grids is the octave grids concatenated flat; offs[o] indexes
+// octave o's (cells[o]+1)^2 grid; amps are the float64 octave weights.
+// Returns 0. Build must use -ffp-contract=off (no FMA re-rounding).
+int terrain_fbm(const float* grids, const int64_t* offs,
+                const int64_t* cells_arr, const double* amps,
+                int64_t octaves, int64_t n, int ridged, float* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t y = 0; y < n; y++) {
+        float* row = out + y * n;
+        for (int64_t x = 0; x < n; x++) row[x] = 0.0f;
+        for (int64_t o = 0; o < octaves; o++) {
+            const float* g = grids + offs[o];
+            const int64_t c = cells_arr[o];
+            const int64_t stride = c + 1;
+            // np.linspace(0, c, n, endpoint=False, dtype=f32) computes
+            // arange(n) * (c/n) in f64 then casts — reproduced exactly
+            const double delta = (double)c / (double)n;
+            const float ty = (float)((double)y * delta);
+            int64_t iy = (int64_t)ty;
+            if (iy > c - 1) iy = c - 1;
+            const double fy = (double)ty - (double)iy;
+            const double sy = fy * fy * (3.0 - 2.0 * fy);
+            const double omsy = 1.0 - sy;
+            const float* g0 = g + iy * stride;
+            const float* g1 = g + (iy + 1) * stride;
+            const double amp = amps[o];
+            for (int64_t x = 0; x < n; x++) {
+                const float tx = (float)((double)x * delta);
+                int64_t ix = (int64_t)tx;
+                if (ix > c - 1) ix = c - 1;
+                const double fx = (double)tx - (double)ix;
+                const double sx = fx * fx * (3.0 - 2.0 * fx);
+                const double omsx = 1.0 - sx;
+                // numpy's elementwise order:
+                // ((g00*(1-sy))*(1-sx) + (g10*sy)*(1-sx)) + (g01*(1-sy))*sx
+                //   + (g11*sy)*sx, additions left-associated, in float64
+                const double t1 = ((double)g0[ix] * omsy) * omsx;
+                const double t2 = ((double)g1[ix] * sy) * omsx;
+                const double t3 = ((double)g0[ix + 1] * omsy) * sx;
+                const double t4 = ((double)g1[ix + 1] * sy) * sx;
+                double v = ((t1 + t2) + t3) + t4;
+                if (ridged) v = 1.0 - fabs(v);
+                // numpy's in-place `acc += amp * layer`: rhs in f64,
+                // accumulate in f64, store rounded to f32
+                row[x] = (float)((double)row[x] + amp * v);
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

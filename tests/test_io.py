@@ -188,3 +188,17 @@ def test_procedural_deterministic():
     np.testing.assert_array_equal(a, b)
     assert np.abs(a - c).max() > 1e-3
     assert a.shape == (32, 32) and a.dtype == np.float32
+
+
+def test_procedural_native_matches_numpy(monkeypatch):
+    """The native fBm evaluator (io/native terrain_fbm) is BIT-identical
+    to the numpy spec — same f64 interpolation, one f32 rounding per
+    octave (odd size exercises the non-exact linspace step)."""
+    import hmrt_tpu.io.heightmap as hm
+    import hmrt_tpu.io.native as nat
+    if nat.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    a = hm.procedural_terrain(257, seed=5)
+    monkeypatch.setattr(nat, "terrain_fbm", lambda *a_, **k: None)
+    b = hm.procedural_terrain(257, seed=5)
+    np.testing.assert_array_equal(a, b)
