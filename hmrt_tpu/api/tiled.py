@@ -33,6 +33,7 @@ frames pay a second streaming sweep.
 from __future__ import annotations
 
 import dataclasses
+from collections import OrderedDict
 
 import numpy as np
 import jax.numpy as jnp
@@ -41,6 +42,43 @@ from hmrt_tpu.api.scene import make_scene
 from hmrt_tpu.config import RenderConfig
 from hmrt_tpu.core.renderer import render_frame
 from hmrt_tpu.types import Camera, Frame, Light
+
+
+class TileSceneCache:
+    """LRU cache of tile sub-scenes, keyed by (y0, x0, kind).
+
+    A shadowed out-of-core frame builds every visible tile's scene TWICE
+    (primary composite, then the shadow sweep), and an animation rebuilds
+    them every frame. Caching is pixel-neutral — same heights in, same
+    scene out — and bounded: at most `max_tiles` sub-scenes stay resident
+    (one 2048-cell packed tile is ~100 MB of HBM; 16 covers a whole
+    8192^2 map if memory allows, 2-4 is enough to serve the
+    primary->shadow reuse within a frame). The cache is valid for ONE
+    (source, albedo) pair — pass a fresh cache when either changes.
+    """
+
+    def __init__(self, max_tiles: int):
+        self.max_tiles = int(max_tiles)
+        self._d: OrderedDict = OrderedDict()
+        self.built = 0  # build-count telemetry (tests/_stats)
+
+    def get(self, key, build):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        scene = build()
+        self.built += 1
+        if self.max_tiles > 0:
+            self._d[key] = scene
+            while len(self._d) > self.max_tiles:
+                self._d.popitem(last=False)
+        return scene
+
+    def peek(self, key):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        return None
 
 
 def _tile_axis(side: int, tile: int):
@@ -127,6 +165,7 @@ def _front_to_back(origins, boxes, eye):
 def render_frame_tiled(source, camera: Camera, config: RenderConfig, *,
                        tile: int = 2048, light: Light | None = None,
                        albedo: np.ndarray | None = None, cull: bool = True,
+                       cache: TileSceneCache | int = 0,
                        _stats: dict | None = None) -> Frame:
     """Render one frame against a tiled heightmap source.
 
@@ -142,8 +181,15 @@ def render_frame_tiled(source, camera: Camera, config: RenderConfig, *,
     composite keeps strictly-closer hits only); the win is skipping
     whole-tile renders behind the camera / outside the frustum / fully
     occluded. _stats (a dict, test hook) records tiles_total,
-    tiles_rendered and shadow_tiles_marched.
+    tiles_rendered, shadow_tiles_marched and tiles_built.
+
+    cache: a TileSceneCache (or an int max-tile count) keeping built
+    sub-scenes resident across the shadow sweep and across frames —
+    pixel-neutral, bounded HBM (see TileSceneCache). 0 = no caching.
     """
+    if not isinstance(cache, TileSceneCache):
+        cache = TileSceneCache(int(cache))
+    built0 = cache.built  # per-call build count for _stats
     if isinstance(source, np.ndarray):
         side = source.shape[0]
 
@@ -225,8 +271,12 @@ def render_frame_tiled(source, camera: Camera, config: RenderConfig, *,
             if not bool(jnp.any(ib & (tmin < best_t.reshape(-1)))):
                 continue
         rendered += 1
-        heights, alb = load_tile(y0, x0, albedo is not None)
-        scene = make_scene(heights, albedo=alb, light=light)
+
+        def build_full(y0=y0, x0=x0):
+            heights, alb = load_tile(y0, x0, albedo is not None)
+            return make_scene(heights, albedo=alb, light=light)
+
+        scene = cache.get((y0, x0, "full"), build_full)
         # translate the camera into tile-local world coordinates (the
         # margin shifts the tile origin by one more sample)
         off = jnp.asarray([x0 - 1, y0 - 1, 0.0], jnp.float32)
@@ -240,18 +290,25 @@ def render_frame_tiled(source, camera: Camera, config: RenderConfig, *,
         best_normal = jnp.where(closer[..., None], fr.normal, best_normal)
         best_t = jnp.minimum(best_t, t)
         any_hit = any_hit | hit
-        # free the sub-scene before the next tile streams in
+        # free the sub-scene before the next tile streams in (the cache,
+        # if enabled, holds its bounded working set)
         del scene
 
     if _stats is not None:
         _stats.update(tiles_total=len(ordered), tiles_rendered=rendered)
 
     if config.shadows:
-        return _shade_shadowed(camera, config, light, albedo, load_tile,
-                               [og for og, _ in ordered],
-                               [bx for _, bx in ordered],
-                               side, t_cells,
-                               best_t, best_normal, any_hit, _stats)
+        frame = _shade_shadowed(camera, config, light, albedo, load_tile,
+                                [og for og, _ in ordered],
+                                [bx for _, bx in ordered],
+                                side, t_cells,
+                                best_t, best_normal, any_hit, cache, _stats)
+        if _stats is not None:
+            _stats["tiles_built"] = cache.built - built0
+        return frame
+
+    if _stats is not None:
+        _stats["tiles_built"] = cache.built - built0
 
     color = jnp.where(any_hit[..., None], best_color, sky_col)
     return Frame(color=color,
@@ -263,7 +320,7 @@ def render_frame_tiled(source, camera: Camera, config: RenderConfig, *,
 
 def _shade_shadowed(camera, config, light, albedo, load_tile, origins,
                     boxes, side, t_cells, best_t, best_normal, any_hit,
-                    _stats=None):
+                    cache, _stats=None):
     """Stages 2+3 of the shadowed out-of-core frame (module docstring):
     union the per-tile clipped any-hit shadow marches, then shade the
     composited geometry globally — the same expressions as
@@ -312,8 +369,17 @@ def _shade_shadowed(camera, config, light, albedo, load_tile, origins,
             if not bool(jnp.any(live & ib)):
                 continue
         marched += 1
-        heights, _ = load_tile(y0, x0, False)
-        sub = make_scene(heights, light=lgt, pack=False)
+        # the shadow march needs only pyr_flat + heights: a cached "full"
+        # scene from the primary pass serves directly; otherwise build
+        # (and cache) an unpacked one
+        sub = cache.peek((y0, x0, "full"))
+        if sub is None:
+
+            def build_shadow(y0=y0, x0=x0):
+                heights, _ = load_tile(y0, x0, False)
+                return make_scene(heights, light=lgt, pack=False)
+
+            sub = cache.get((y0, x0, "shadow"), build_shadow)
         shadow_cap = config.max_steps or (8 * sub.n_cells + 256)
         res = march_maxmip(
             jnp.where(live, sx - (x0 - 1), -1e6),

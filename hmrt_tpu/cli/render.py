@@ -61,6 +61,10 @@ def build_parser():
                         "A .raw/.r32 file is mmap'd and never fully loaded "
                         "(heights are used as-is, no normalization). "
                         "Incompatible with --sharded/--flythrough.")
+    p.add_argument("--tile-cache", type=int, default=0, metavar="N",
+                   help="keep up to N tile sub-scenes resident across the "
+                        "shadow sweep (pixel-neutral; ~100 MB HBM per "
+                        "2048-cell tile)")
     return p
 
 
@@ -152,7 +156,8 @@ def main(argv=None):
             return 2
         from hmrt_tpu.api.tiled import render_frame_tiled
         fr = render_frame_tiled(source, cam, cfg, tile=args.tile,
-                                light=light, albedo=albedo)
+                                light=light, albedo=albedo,
+                                cache=args.tile_cache)
     elif args.sharded:
         from hmrt_tpu.distrib.mesh import (make_mesh, render_frame_sharded,
                                            replicate_scene)

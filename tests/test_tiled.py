@@ -162,3 +162,54 @@ def test_tiled_shadows_low_sun_crosses_tiles():
     tiled = render_frame_tiled(h, cam, cfg, tile=tile, light=light)
     np.testing.assert_allclose(np.asarray(tiled.color),
                                np.asarray(mono.color), atol=2e-4)
+
+
+def test_tile_scene_cache_pixel_neutral_and_reuses():
+    """TileSceneCache: a shadowed frame with caching is pixel-identical
+    to the uncached render, reuses primary scenes for the shadow sweep
+    (fewer builds than marches+renders), and a repeated frame through a
+    persistent cache builds zero new scenes."""
+    from hmrt_tpu.api.tiled import TileSceneCache
+
+    side, tile = 129, 64
+    h = procedural_terrain(side, seed=7)
+    cam = _cam(h)
+    cfg = RenderConfig(width=48, height=32, shading="phong", shadows=True,
+                       fog=True, aux_buffers=True)
+    s0, s1 = {}, {}
+    plain = render_frame_tiled(h, cam, cfg, tile=tile, _stats=s0)
+    cache = TileSceneCache(16)
+    cached = render_frame_tiled(h, cam, cfg, tile=tile, cache=cache,
+                                _stats=s1)
+    np.testing.assert_array_equal(np.asarray(cached.color),
+                                  np.asarray(plain.color))
+    np.testing.assert_array_equal(np.asarray(cached.hit),
+                                  np.asarray(plain.hit))
+    # uncached: every render + every shadow march builds a scene
+    assert s0["tiles_built"] == s0["tiles_rendered"] + s0["shadow_tiles_marched"]
+    # cached: the shadow sweep reuses the primary pass's scenes
+    assert s1["tiles_built"] == s1["tiles_rendered"], s1
+    # second identical frame: fully served from the cache
+    s2 = {}
+    again = render_frame_tiled(h, cam, cfg, tile=tile, cache=cache,
+                               _stats=s2)
+    assert s2["tiles_built"] == 0, s2
+    np.testing.assert_array_equal(np.asarray(again.color),
+                                  np.asarray(plain.color))
+
+
+def test_tile_scene_cache_bounded():
+    """An LRU bound below the tile count still renders correctly and
+    never holds more than max_tiles scenes."""
+    from hmrt_tpu.api.tiled import TileSceneCache
+
+    side, tile = 129, 32  # 16 tiles
+    h = procedural_terrain(side, seed=7)
+    cam = _cam(h)
+    cfg = RenderConfig(width=40, height=28)
+    cache = TileSceneCache(3)
+    plain = render_frame_tiled(h, cam, cfg, tile=tile)
+    cached = render_frame_tiled(h, cam, cfg, tile=tile, cache=cache)
+    assert len(cache._d) <= 3
+    np.testing.assert_array_equal(np.asarray(cached.color),
+                                  np.asarray(plain.color))

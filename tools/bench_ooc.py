@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--shadows", action="store_true")
     ap.add_argument("--no-cull", action="store_true")
+    ap.add_argument("--cache", type=int, default=0, metavar="N",
+                    help="TileSceneCache size (persists across reps of a "
+                         "view: rep 0 = cold, rep 1+ = warm)")
     ap.add_argument("--raw", default=None, help="existing raw-f32 file")
     args = ap.parse_args()
 
@@ -59,7 +62,9 @@ def main():
         "low-corner": ((n * 0.08, n * 0.08, zmax + n * 0.01),
                        (n * 0.5, n * 0.5, zmean)),
     }
+    from hmrt_tpu.api.tiled import TileSceneCache
     for name, (eye, tgt) in views.items():
+        cache = TileSceneCache(args.cache)
         for rep in range(args.reps):
             salt = 0.37 * rep
             cam = H.Camera.create(eye=(eye[0] + salt, eye[1], eye[2]),
@@ -67,7 +72,8 @@ def main():
             stats = {}
             t0 = time.time()
             fr = render_frame_tiled(src, cam, cfg, tile=args.tile,
-                                    cull=not args.no_cull, _stats=stats)
+                                    cull=not args.no_cull, cache=cache,
+                                    _stats=stats)
             hit_frac = float(np.asarray(fr.hit).mean())
             dt = time.time() - t0
             print(json.dumps({

@@ -48,8 +48,9 @@ run tools/sweep_b3.py --reps 3 --schedules "\
 run tools/check_b2b4.py
 
 # 7) out-of-core B4-scale frame time (VERDICT r2 next #5): 8192^2 raw
-#    mmap, 2048-cell tiles, culled, with shadows
-run tools/bench_ooc.py --reps 1 --shadows
+#    mmap, 2048-cell tiles, culled, with shadows; rep 0 cold, rep 1 warm
+#    through the 16-tile scene cache
+run tools/bench_ooc.py --reps 2 --shadows --cache 16
 
 # 8) sharded program shapes compiled by Mosaic on the real chip
 #    (1-device mesh): band path + frame-axis DP vs unsharded
