@@ -120,14 +120,26 @@ def main(argv=None):
                          backend=args.backend)
 
     if args.flythrough:
-        if args.tile:
-            print("--tile is incompatible with --flythrough",
-                  file=sys.stderr)
-            return 2
         from hmrt_tpu.api.flythrough import orbit_flythrough, frame_camera
         cams = orbit_flythrough(n, zmax, args.flythrough)
         t0 = time.time()
-        if args.sharded:
+        if args.tile:
+            if args.sharded:
+                print("--tile is incompatible with --sharded",
+                      file=sys.stderr)
+                return 2
+            # out-of-core animation: the tile-scene cache keeps the
+            # working set resident so later frames skip the rebuilds
+            from hmrt_tpu.api.tiled import TileSceneCache, render_frame_tiled
+            cache = TileSceneCache(args.tile_cache or 16)
+            frames = []
+            for i in range(args.flythrough):
+                fr = render_frame_tiled(source, frame_camera(cams, i), cfg,
+                                        tile=args.tile, light=light,
+                                        albedo=albedo, cache=cache)
+                frames.append(np.asarray(fr.color))
+            stack = np.stack(frames)
+        elif args.sharded:
             # frame-axis DP: whole frames per chip, one device program
             from hmrt_tpu.distrib.mesh import (make_mesh, replicate_scene,
                                                render_flythrough_sharded)

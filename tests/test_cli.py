@@ -38,6 +38,19 @@ def test_render_cli_tiled(tmp_path):
     assert read_png(out).shape == (24, 32, 3)
 
 
+def test_render_cli_tiled_flythrough(tmp_path):
+    """Out-of-core animation: --tile + --flythrough renders each frame
+    through render_frame_tiled with a persistent tile-scene cache."""
+    out = str(tmp_path / "fly.npy")
+    rc = render_main(["--size", "80", "--width", "32", "--height", "24",
+                      "--tile", "48", "--flythrough", "2",
+                      "--tile-cache", "4", "-o", out])
+    assert rc == 0
+    stack = np.load(out)
+    assert stack.shape == (2, 24, 32, 3)
+    assert np.isfinite(stack).all()
+
+
 def test_render_cli_albedo(tmp_path):
     from hmrt_tpu.io.image import write_png
 
