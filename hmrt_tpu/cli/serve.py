@@ -133,11 +133,14 @@ class ViewerSession:
     sockets: call page() / state_json() / render_frame_png() directly)."""
 
     def __init__(self, scene, config, *, eye, yaw, pitch, speed,
-                 draft_scale=4):
+                 draft_scale=4, tiled=None):
         import dataclasses
 
         self.scene = scene
         self.config = config
+        # out-of-core mode: (source, tile_cells, TileSceneCache) — frames
+        # go through api.tiled with the cache keeping the working set warm
+        self.tiled = tiled
         self.draft_config = dataclasses.replace(
             config,
             width=max(64, (config.width // draft_scale) // 2 * 2),
@@ -175,7 +178,13 @@ class ViewerSession:
         cam = H.Camera.create(eye=tuple(eye), target=target,
                               fov_y_deg=55.0)
         with self._lock:     # one render at a time (single chip)
-            fr = H.render_frame(self.scene, cam, cfg)
+            if self.tiled is not None:
+                from hmrt_tpu.api.tiled import render_frame_tiled
+                source, tile_cells, cache = self.tiled
+                fr = render_frame_tiled(source, cam, cfg, tile=tile_cells,
+                                        cache=cache)
+            else:
+                fr = H.render_frame(self.scene, cam, cfg)
             img = np.asarray(fr.color)
         return encode_png(img)
 
@@ -242,6 +251,13 @@ def build_parser():
     p.add_argument("--backend",
                    choices=["auto", "oracle", "pallas", "compact"],
                    default="auto")
+    p.add_argument("--tile", type=int, default=0, metavar="CELLS",
+                   help="fly over an out-of-core map: stream CELLS^2-cell "
+                        "tiles (api/tiled.py) instead of a resident scene; "
+                        "a .raw/.r32 heightmap is mmap'd, never fully "
+                        "loaded")
+    p.add_argument("--tile-cache", type=int, default=8, metavar="N",
+                   help="tile sub-scenes kept resident in --tile mode")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--host", default="127.0.0.1")
     return p
@@ -249,6 +265,38 @@ def build_parser():
 
 def make_session(args) -> ViewerSession:
     import hmrt_tpu as H
+
+    tile = getattr(args, "tile", 0)
+    if tile:
+        # out-of-core viewing: keep the map on disk / in host memory and
+        # stream tiles per frame, warmed by the LRU scene cache
+        from hmrt_tpu.api.tiled import TileSceneCache
+
+        if args.albedo:
+            raise SystemExit("--albedo is not supported with --tile")
+        if (args.heightmap
+                and args.heightmap.lower().endswith((".raw", ".r32"))):
+            from hmrt_tpu.io.native import RawTileMap
+            source = RawTileMap(args.heightmap)
+            n = source.side
+            probe = source.tile(0, 0, min(n, 512), min(n, 512))
+            zmax = float(probe.max())
+        elif args.heightmap:
+            source = H.load_heightmap(args.heightmap)
+            side = min(source.shape)
+            source = np.asarray(source[:side, :side], np.float32)
+            n, zmax = side, float(source.max())
+        else:
+            source = H.procedural_terrain(args.size, seed=args.seed)
+            n, zmax = source.shape[0], float(source.max())
+        cfg = H.RenderConfig(width=args.width, height=args.height,
+                             shading=args.shading, shadows=args.shadows,
+                             fog=args.fog, backend=args.backend)
+        return ViewerSession(
+            None, cfg, eye=(n * 0.5, -n * 0.2, zmax + n * 0.05),
+            yaw=math.pi / 2, pitch=-0.2, speed=n / 100.0,
+            draft_scale=args.draft_scale,
+            tiled=(source, tile, TileSceneCache(args.tile_cache)))
 
     if args.heightmap:
         terr = H.load_heightmap(args.heightmap)
@@ -269,7 +317,8 @@ def make_session(args) -> ViewerSession:
                          backend=args.backend)
     return ViewerSession(scene, cfg,
                          eye=(n * 0.5, -n * 0.2, zmax + n * 0.05),
-                         yaw=math.pi / 2, pitch=-0.2, speed=n / 100.0)
+                         yaw=math.pi / 2, pitch=-0.2, speed=n / 100.0,
+                         draft_scale=args.draft_scale)
 
 
 def main(argv=None):

@@ -100,3 +100,29 @@ def test_bad_requests(session):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_tiled_viewer_session():
+    """Out-of-core viewer mode: frames stream through api.tiled with the
+    scene cache; pixels match the resident session's render."""
+    from hmrt_tpu.api.tiled import TileSceneCache
+
+    terr = H.procedural_terrain(65, seed=3)
+    cfg = H.RenderConfig(width=96, height=64, backend="oracle")
+    n = terr.shape[0]
+    eye = (n * 0.5, -n * 0.2, float(terr.max()) + 6.0)
+    cache = TileSceneCache(8)
+    tiled = ViewerSession(None, cfg, eye=eye, yaw=math.pi / 2, pitch=-0.2,
+                          speed=1.0, tiled=(terr, 32, cache))
+    resident = ViewerSession(H.make_scene(terr, pack=False), cfg, eye=eye,
+                             yaw=math.pi / 2, pitch=-0.2, speed=1.0)
+    params = json.loads(tiled.state_json())
+    a = _decode(tiled.render_frame_png(params))
+    b = _decode(resident.render_frame_png(params))
+    assert a.shape == (64, 96, 3)
+    # 8-bit quantized output: tiled-vs-monolithic float wiggle is < 1 LSB
+    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+    assert cache.built > 0
+    before = cache.built
+    tiled.render_frame_png(params)  # second frame: warm cache
+    assert cache.built == before
