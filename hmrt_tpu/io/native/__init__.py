@@ -22,11 +22,17 @@ _tried = False
 
 
 def get_lib():
-    """The loaded native library, or None if unavailable."""
+    """The loaded native library, or None if unavailable.
+
+    HMRT_NO_NATIVE=1 disables it (pure-Python fallbacks take over) —
+    a debugging lever to rule the native tier in/out of a failure.
+    """
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    if os.environ.get("HMRT_NO_NATIVE"):
+        return None
     try:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):

@@ -56,4 +56,11 @@ run tools/bench_ooc.py --reps 2 --shadows --cache 16
 #    (1-device mesh): band path + frame-axis DP vs unsharded
 run tools/check_sharded_tpu.py
 
+# 9) the on-hardware test suite (kernel paths compiled by Mosaic, not the
+#    interpreter; ~8 min in session 3) — revalidates after this round's
+#    changes. test_sharded stays CPU-mesh-only (1 real chip).
+export HMRT_TEST_TPU=1
+run -m pytest tests/ -q --deselect tests/test_sharded.py -p no:cacheprovider
+unset HMRT_TEST_TPU
+
 echo "BATTERY DONE $(date)" >> "$LOG"
