@@ -37,18 +37,14 @@ def get_lib():
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             # -ffp-contract=off: no FMA contraction — terrain_fbm must
-            # round every f32 multiply/add exactly like numpy to stay
-            # bit-identical to the Python spec
+            # round every multiply/add exactly like numpy to stay
+            # bit-identical to the Python spec. Parallelism is plain
+            # std::thread (-pthread), NOT OpenMP: libgomp in the JAX
+            # process crashed XLA's LLVM compile threads.
             cmd = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
-                   "-fopenmp", "-o", _SO, _SRC, "-lz"]
-            try:
-                subprocess.run(cmd, check=True, capture_output=True,
-                               timeout=120)
-            except subprocess.CalledProcessError:
-                # toolchains without libgomp still get the serial build
-                cmd.remove("-fopenmp")
-                subprocess.run(cmd, check=True, capture_output=True,
-                               timeout=120)
+                   "-pthread", "-o", _SO, _SRC, "-lz"]
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=120)
         lib = ctypes.CDLL(_SO)
         lib.png_unfilter.restype = ctypes.c_int
         lib.png_unfilter.argtypes = [ctypes.c_void_p, ctypes.c_void_p,

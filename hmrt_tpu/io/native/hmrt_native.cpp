@@ -18,6 +18,8 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <thread>
+#include <vector>
 
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -214,10 +216,11 @@ int64_t build_pyramid_host(const float* heights, int64_t n, float* out,
 int terrain_fbm(const float* grids, const int64_t* offs,
                 const int64_t* cells_arr, const double* amps,
                 int64_t octaves, int64_t n, int ridged, float* out) {
-#ifdef _OPENMP
-#pragma omp parallel for schedule(static)
-#endif
-    for (int64_t y = 0; y < n; y++) {
+    // plain std::thread row-parallelism (NOT OpenMP: loading libgomp
+    // into the JAX process crashed XLA's LLVM compile threads — repro'd
+    // twice in the full suite, gone without it)
+    auto rows = [&](int64_t ybeg, int64_t yend) {
+    for (int64_t y = ybeg; y < yend; y++) {
         float* row = out + y * n;
         for (int64_t x = 0; x < n; x++) row[x] = 0.0f;
         for (int64_t o = 0; o < octaves; o++) {
@@ -258,6 +261,22 @@ int terrain_fbm(const float* grids, const int64_t* offs,
             }
         }
     }
+    };  // rows lambda
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t nthreads = (int64_t)std::min<unsigned>(hw ? hw : 1, 16);
+    nthreads = std::max<int64_t>(1, std::min(nthreads, n));
+    if (nthreads == 1 || n < 256) {
+        rows(0, n);
+        return 0;
+    }
+    std::vector<std::thread> pool;
+    int64_t chunk = (n + nthreads - 1) / nthreads;
+    for (int64_t t = 0; t < nthreads; t++) {
+        int64_t y0 = t * chunk, y1 = std::min(n, y0 + chunk);
+        if (y0 >= y1) break;
+        pool.emplace_back(rows, y0, y1);
+    }
+    for (auto& th : pool) th.join();
     return 0;
 }
 
