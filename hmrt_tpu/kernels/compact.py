@@ -755,7 +755,7 @@ def _unpack_rows(rows, dtypes):
                                     "band_tail", "l0_conds",
                                     "drain_min", "unroll", "full_height",
                                     "prefixes", "shadow_prefixes",
-                                    "entry_sort"))
+                                    "entry_sort", "sort_dir"))
 def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                         albedo_b, gmax, *, config: RenderConfig, n, m,
                         levels, m5, l32, interpret, first_budget=96,
@@ -765,7 +765,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                         drain_min=0,
                         unroll=1, row0=None, full_height=None,
                         prefixes=None, shadow_prefixes=None,
-                        entry_sort=False):
+                        entry_sort=False, sort_dir=0):
     H, W = config.height, config.width
     P = -(-H * W // LANES) * LANES
 
@@ -896,6 +896,21 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                            else _band_key(state, m5, m, band_tail)
                            if tail and band_tail
                            else _column_key(state, m5))
+                if sort_dir:
+                    # direction-aware grouping: rays of one column that
+                    # march the same way exit to the same neighbor, so
+                    # blocks stay record-coherent BETWEEN resorts (the
+                    # served/alive density loss, BENCH_NOTES diag). The
+                    # key is only a permutation choice — any value is
+                    # exact. sort_dir=1: octant subordinate to column;
+                    # sort_dir=2: octant-major (same-heading blocks).
+                    rdx, rdy = rays[3], rays[4]
+                    oc = (((rdy > 0).astype(jnp.int32) << 2)
+                          | ((rdx > 0).astype(jnp.int32) << 1)
+                          | (jnp.abs(rdy) > jnp.abs(rdx)).astype(jnp.int32))
+                    ref = (key * 8 + oc if sort_dir == 1
+                           else oc * (BIG_KEY >> 3) + key)
+                    key = jnp.where(key != BIG_KEY, ref, BIG_KEY)
                 perm = jnp.argsort(key)
                 # broadcast ray planes are permutation-invariant and stay
                 # out of the sorted row matrix: primary rays share one
@@ -1099,7 +1114,8 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          full_height: int | None = None,
                          round_prefixes: tuple | None = None,
                          shadow_prefixes: tuple | None = None,
-                         entry_sort: bool = False) -> Frame:
+                         entry_sort: bool = False,
+                         sort_dir: int = 0) -> Frame:
     """Compacted-wavefront render (see module docstring).
 
     first_budget/rounds/round_budget/n_col: compaction schedule — the
@@ -1137,6 +1153,13 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     each ray's level-0 ENTRY-cell column (no march needed for the key);
     the coarse descent then runs on entry-coherent blocks inside
     round 0.
+
+    sort_dir: refine every resort key with the ray's xy direction
+    octant (1 = subordinate to the record key, 2 = octant-major), so
+    lanes that exit a record together enter the same next record and
+    blocks stay coherent BETWEEN resorts. Pure permutation choice —
+    exact for any value; a perf knob for the measured served/alive
+    density loss (BENCH_NOTES diag: 62% in the unbudgeted tail pass).
     """
     gmax = scene.pyr_flat[-1]
     has_strips = (strip_tail and l0_tail is True
@@ -1168,4 +1191,4 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
         drain_min=drain_min,
         unroll=unroll, row0=row0, full_height=full_height,
         prefixes=round_prefixes, shadow_prefixes=shadow_prefixes,
-        entry_sort=entry_sort)
+        entry_sort=entry_sort, sort_dir=sort_dir)

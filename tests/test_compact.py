@@ -302,6 +302,32 @@ def test_compact_entry_sort(scene128c):
                       - np.asarray(fo.color)).max() < 5e-5
 
 
+def test_compact_sort_dir(scene128c):
+    """sort_dir refines every resort key with the ray's xy-direction
+    octant (1 = subordinate to the record key, 2 = octant-major) so
+    blocks stay record-coherent between resorts. The key only chooses
+    who shares a block — any value must be pixel-exact, including when
+    combined with band tails, entry sort, and prefix rounds."""
+    scene, terr = scene128c
+    cases = [
+        (RenderConfig(width=256, height=64, shading="phong"),
+         dict(sort_dir=1)),
+        (RenderConfig(width=128, height=32, shadows=True),
+         dict(sort_dir=2, band_tail=8, l0_tail="auto")),
+        (RenderConfig(width=128, height=32, shadows=True),
+         dict(sort_dir=1, entry_sort=True, round_prefixes=(0, 2048, 1024),
+              shadow_prefixes=(0, 1024))),
+    ]
+    for cfg, kw in cases:
+        fc = render_frame_compact(scene, scene.packed, _cam(terr), cfg,
+                                  interpret=INTERPRET, unroll=UNROLL, **kw)
+        fo = render_frame_oracle(scene, _cam(terr), cfg)
+        np.testing.assert_array_equal(np.asarray(fc.hit),
+                                      np.asarray(fo.hit))
+        assert np.abs(np.asarray(fc.color)
+                      - np.asarray(fo.color)).max() < 5e-5
+
+
 def test_compact_unroll_parity(scene128c):
     """unroll>1 amortizes the while-loop sync by running several masked
     steps per condition check; act is recomputed each sub-step so the

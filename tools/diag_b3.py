@@ -47,6 +47,7 @@ def main():
     sub = bool(parts[9]) if len(parts) > 9 else False
     band = int(parts[10]) if len(parts) > 10 else 0
     band = 4 if band == 1 else band   # legacy bool flag
+    sdir = int(parts[12]) if len(parts) > 12 else 0
 
     import dataclasses
 
@@ -94,6 +95,14 @@ def main():
             state = C._force_level0(rays, state, scene.levels)
         key = (C._band_key(state, packed.m5, scene.m, band) if force0 and band
                else C._column_key(state, packed.m5))
+        if sdir:
+            rdx, rdy = rays[3], rays[4]
+            oc = (((rdy > 0).astype(jnp.int32) << 2)
+                  | ((rdx > 0).astype(jnp.int32) << 1)
+                  | (jnp.abs(rdy) > jnp.abs(rdx)).astype(jnp.int32))
+            ref = (key * 8 + oc if sdir == 1
+                   else oc * (C.BIG_KEY >> 3) + key)
+            key = jnp.where(key != C.BIG_KEY, ref, C.BIG_KEY)
         perm = jnp.argsort(key)
         rows = C._pack_rows(*rays, *state, *res)
         rows_s = jnp.take(rows, perm, axis=0)

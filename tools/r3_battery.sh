@@ -44,6 +44,13 @@ run tools/sweep_b3.py --reps 3 --schedules "\
 0,2,256,3,2,0,0,0,8,1,0,1 \
 0,6,256,3,2,0,0,0,8,1,0,1/1,2,4,4,4,4"
 
+# 5b) direction-octant resort keys (field 13): subordinate (1) and
+#     octant-major (2), on the default schedule and a prefix schedule
+run tools/sweep_b3.py --reps 3 --schedules "\
+0,2,256,3,2,0,0,0,8,1,0,0,1 \
+0,2,256,3,2,0,0,0,8,1,0,0,2 \
+0,6,256,3,2,0,0,0,8,1,0,0,1/1,2,4,4,4,4"
+
 # 6) B2/B4 regression check of the candidate defaults
 run tools/check_b2b4.py
 

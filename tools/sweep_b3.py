@@ -60,6 +60,7 @@ def main():
         band = int(sched[10]) if len(sched) > 10 else 0
         band = 4 if band == 1 else band   # legacy bool flag
         entry = bool(sched[11]) if len(sched) > 11 else False
+        sdir = int(sched[12]) if len(sched) > 12 else 0
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
         if isinstance(nc, tuple) and len(nc) == 1:
@@ -72,7 +73,7 @@ def main():
                                   subserve=sub, band_tail=band,
                                   round_prefixes=prefixes,
                                   shadow_prefixes=spref,
-                                  entry_sort=entry)
+                                  entry_sort=entry, sort_dir=sdir)
         return float(jnp.sum(fr.color[::16, ::16]))
 
     P = -(-w * h // 1024) * 1024
