@@ -216,9 +216,11 @@ int64_t build_pyramid_host(const float* heights, int64_t n, float* out,
 int terrain_fbm(const float* grids, const int64_t* offs,
                 const int64_t* cells_arr, const double* amps,
                 int64_t octaves, int64_t n, int ridged, float* out) {
-    // plain std::thread row-parallelism (NOT OpenMP: loading libgomp
-    // into the JAX process crashed XLA's LLVM compile threads — repro'd
-    // twice in the full suite, gone without it)
+    // plain std::thread row-parallelism. (OpenMP was originally blamed
+    // for full-suite XLA compile segfaults; the real cause turned out to
+    // be vm.max_map_count exhaustion by accumulated XLA:CPU JIT
+    // mappings — see tests/conftest.py _bound_jit_maps. std::thread is
+    // kept anyway: it avoids shipping a second threading runtime.)
     auto rows = [&](int64_t ybeg, int64_t yend) {
     for (int64_t y = ybeg; y < yend; y++) {
         float* row = out + y * n;

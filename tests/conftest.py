@@ -21,6 +21,32 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_maps():
+    """Keep the process under vm.max_map_count (default 65530).
+
+    Every XLA:CPU compiled program holds ~5-6 JIT code mappings and the
+    full suite compiles enough programs to exhaust the kernel limit:
+    mmap then fails inside LLVM and the worker SEGVs in
+    backend_compile_and_load (three full-suite crashes on 2026-08-18
+    bisected to exactly this — /proc/self/maps hit 65426 of 65530 at
+    the crash, always landing in the compile-heavy test_tiled module).
+    jax.clear_caches() releases the executables' mappings (measured
+    2559 -> 481 on a 400-program microbench); clear between modules,
+    and only once the count is actually high so light modules keep
+    their warm jit caches.
+    """
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > 25000:
+        import jax
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def terrain64():
     from hmrt_tpu.io.heightmap import procedural_terrain

@@ -52,6 +52,7 @@ def main():
             ("entry+prefix", {"entry_sort": True,
                               "round_prefixes": (P, P // 2, P // 4,
                                                  P // 4)}),
+            ("sort_dir=1", {"sort_dir": 1}),
         ]
         # orbit-style camera (B4's flythrough regime: oblique, pyramid-
         # friendly) at the config's resolution
