@@ -37,6 +37,12 @@ def main():
                          "(kernels/compact.py round_prefixes); overrides "
                          "the sched round count; a full-population guard "
                          "pass is appended")
+    ap.add_argument("--cam", default="b3", choices=["b3", "oblique"],
+                    help="camera preset: b3 = the grazing bench camera; "
+                         "oblique = check_b2b4's high static orbit-style "
+                         "view (the l0_tail auto-mispredict regime — use "
+                         "with --map 8192 to capture the survivor level "
+                         "mix that should calibrate L0_TAIL_AUTO_THRESH)")
     args = ap.parse_args()
     # sched format = sweep_b3's: fb,rounds,rb,ncol,l0,strip,conds,dmin,
     # unroll,sub (strip/conds/dmin ignored here)
@@ -64,9 +70,14 @@ def main():
     scene = make_scene(terr)
     packed = scene.packed
     zmax = float(terr.max())
-    cam = Camera.create(eye=(n * 0.5, -n * 0.25, zmax + n * 0.06),
-                        target=(n * 0.5, n * 0.5, float(terr.mean())),
-                        fov_y_deg=55.0)
+    if args.cam == "oblique":
+        cam = Camera.create(eye=(n * 0.8, n * 0.2, zmax * 1.6),
+                            target=(n * 0.5, n * 0.5, float(terr.mean())),
+                            fov_y_deg=45.0)
+    else:
+        cam = Camera.create(eye=(n * 0.5, -n * 0.25, zmax + n * 0.06),
+                            target=(n * 0.5, n * 0.5, float(terr.mean())),
+                            fov_y_deg=55.0)
 
     H, W = cfg.height, cfg.width
     P = -(-H * W // C.LANES) * C.LANES

@@ -54,6 +54,12 @@ run tools/sweep_b3.py --reps 3 --schedules "\
 # 6) B2/B4 regression check of the candidate defaults
 run tools/check_b2b4.py
 
+# 6b) survivor level-mix anatomy on the l0_tail auto-mispredict regime
+#     (8192^2 map, static oblique camera, B4 resolution): calibrates
+#     L0_TAIL_AUTO_THRESH against the forced-tail 2x loss there
+run tools/diag_b3.py --map 8192 --res 1280x720 --cam oblique \
+    --sched 0,2,256,3,0,0,0,0,8,1
+
 # 7) out-of-core B4-scale frame time (VERDICT r2 next #5): 8192^2 raw
 #    mmap, 2048-cell tiles, culled, with shadows; rep 0 cold, rep 1 warm
 #    through the 16-tile scene cache
