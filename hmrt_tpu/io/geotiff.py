@@ -172,16 +172,22 @@ def read_tiff_gray(path: str) -> np.ndarray:
         bo = ">"
     else:
         raise ValueError(f"{path}: not a TIFF")
-    (ver,) = struct.unpack_from(bo + "H", data, 2)
-    if ver == 42:
-        big = False
-        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
-    elif ver == 43:
-        big = True
-        (ifd_off,) = struct.unpack_from(bo + "Q", data, 8)
-    else:
-        raise ValueError(f"{path}: bad TIFF version {ver}")
-    t = _read_ifd(data, bo, big, ifd_off)
+    # untrusted-input gate: a file cut inside the header or IFD entry
+    # table otherwise surfaces as opaque struct.error messages
+    try:
+        (ver,) = struct.unpack_from(bo + "H", data, 2)
+        if ver == 42:
+            big = False
+            (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+        elif ver == 43:
+            big = True
+            (ifd_off,) = struct.unpack_from(bo + "Q", data, 8)
+        else:
+            raise ValueError(f"{path}: bad TIFF version {ver}")
+        t = _read_ifd(data, bo, big, ifd_off)
+    except struct.error as e:
+        raise ValueError(f"{path}: truncated TIFF (header/IFD: {e})") \
+            from None
 
     w, h = t[_W][0], t[_H][0]
     spp = t.get(_SPP, [1])[0]

@@ -161,8 +161,17 @@ def read_png(path: str) -> np.ndarray:
         raise ValueError(f"{path}: not a PNG")
     pos, idat, ihdr, plte, trns = 8, b"", None, None, None
     while pos < len(data):
+        # untrusted-input gate: chunk header and body must be fully
+        # present, or a truncated file surfaces as opaque struct/
+        # unpack errors (or a None IHDR TypeError) instead of this
+        if pos + 8 > len(data):
+            raise ValueError(f"{path}: truncated PNG (chunk header at "
+                             f"{pos} past EOF {len(data)})")
         (length,) = struct.unpack(">I", data[pos: pos + 4])
         tag = data[pos + 4: pos + 8]
+        if pos + 8 + length > len(data):
+            raise ValueError(f"{path}: truncated PNG ({tag!r} chunk body "
+                             f"{length}B at {pos + 8} past EOF {len(data)})")
         body = data[pos + 8: pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
@@ -175,6 +184,8 @@ def read_png(path: str) -> np.ndarray:
             idat += body
         elif tag == b"IEND":
             break
+    if ihdr is None:
+        raise ValueError(f"{path}: corrupt PNG (no IHDR chunk)")
     w, h, depth, color_type, _, _, interlace = ihdr
     if interlace:
         raise ValueError("interlaced PNG not supported")
@@ -191,7 +202,10 @@ def read_png(path: str) -> np.ndarray:
         raise ValueError(f"unsupported PNG bit depth {depth}")
     bpp = max(channels * depth // 8, 1)
     stride = (w * channels * depth + 7) // 8
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    except zlib.error as e:
+        raise ValueError(f"{path}: corrupt PNG (IDAT inflate: {e})") from None
     # untrusted input gate: the scanline buffer must be exactly
     # h * (1 filter byte + stride) long, or the (native C++) unfilter
     # would read out of bounds on a truncated/corrupt IDAT stream

@@ -236,3 +236,18 @@ def test_load_heightmap_tif(tmp_path, dem):
     _write_tiff(p, dem, comp=8)
     h = load_heightmap(p)
     assert h.shape == dem.shape and h.dtype == np.float32
+
+
+def test_tiff_truncation_fuzz(tmp_path, dem):
+    """Every truncation of a valid TIFF must raise a clean ValueError —
+    the header/IFD region included (it used to leak opaque struct.error
+    messages) — never decode silent garbage (untrusted-input path)."""
+    p = str(tmp_path / "t.tif")
+    _write_tiff(p, dem)
+    data = open(p, "rb").read()
+    q = str(tmp_path / "cut.tif")
+    for cut in list(range(0, len(data), 7)) + [len(data) - 1]:
+        with open(q, "wb") as f:
+            f.write(data[:cut])
+        with pytest.raises(ValueError):
+            read_tiff_gray(q)

@@ -202,3 +202,23 @@ def test_procedural_native_matches_numpy(monkeypatch):
     monkeypatch.setattr(nat, "terrain_fbm", lambda *a_, **k: None)
     b = hm.procedural_terrain(257, seed=5)
     np.testing.assert_array_equal(a, b)
+
+
+def test_png_truncation_fuzz(tmp_path):
+    """Every truncation of a valid PNG must either raise a clean
+    ValueError or decode fully (cuts inside a trailing CRC / IEND once
+    all pixel data is present) — never an opaque struct/zlib/TypeError
+    and never silent garbage (untrusted-input path)."""
+    p = tmp_path / "t.png"
+    img = (np.random.default_rng(0).random((17, 23, 3)) * 255) / 255.0
+    im.write_png(str(p), img)
+    data = p.read_bytes()
+    ref = im.read_png(str(p))
+    q = tmp_path / "cut.png"
+    for cut in list(range(0, len(data), 7)) + [len(data) - 1]:
+        q.write_bytes(data[:cut])
+        try:
+            got = im.read_png(str(q))
+        except ValueError:
+            continue
+        np.testing.assert_array_equal(got, ref)  # complete-data cuts only
