@@ -158,10 +158,31 @@ def _load_esri_ascii(path: str) -> np.ndarray:
                 continue
             if parts[0].lower() in ("ncols", "nrows", "xllcorner", "yllcorner",
                                     "cellsize", "nodata_value"):
+                if len(parts) < 2:
+                    raise ValueError(
+                        f"{path}: corrupt ESRI ASCII header line {parts[0]!r}")
                 meta[parts[0].lower()] = float(parts[1])
             else:
-                rows.append(np.array(parts, dtype=np.float32))
-    h = np.vstack(rows)
+                try:
+                    rows.append(np.array(parts, dtype=np.float32))
+                except ValueError:
+                    raise ValueError(f"{path}: corrupt ESRI ASCII data "
+                                     f"line starting {parts[0]!r}") from None
+    # untrusted-input gate: a truncated file must not come back as a
+    # silently smaller heightmap — validate against the declared grid
+    if not rows:
+        raise ValueError(f"{path}: ESRI ASCII grid has no data rows")
+    try:
+        h = np.vstack(rows)
+    except ValueError:
+        raise ValueError(f"{path}: truncated ESRI ASCII grid (ragged "
+                         "data rows)") from None
+    want = (meta.get("nrows"), meta.get("ncols"))
+    if want[0] is not None and want[1] is not None \
+            and h.shape != (int(want[0]), int(want[1])):
+        raise ValueError(f"{path}: truncated ESRI ASCII grid — header "
+                         f"declares {int(want[0])}x{int(want[1])}, data "
+                         f"has {h.shape[0]}x{h.shape[1]}")
     nodata = meta.get("nodata_value")
     if nodata is not None:
         valid = h[h != nodata]

@@ -222,3 +222,28 @@ def test_png_truncation_fuzz(tmp_path):
         except ValueError:
             continue
         np.testing.assert_array_equal(got, ref)  # complete-data cuts only
+
+
+def test_asc_truncation_fuzz(tmp_path):
+    """A truncated ESRI ASCII grid must raise a clean ValueError — it
+    used to come back as a silently SMALLER heightmap (header-only cut
+    loaded as a (1, 2) array) or an IndexError on a cut header line."""
+    h = (np.random.default_rng(0).random((19, 19)) * 1000).astype(np.float32)
+    p = tmp_path / "t.asc"
+    with open(p, "w") as f:
+        f.write("ncols 19\nnrows 19\nxllcorner 0\nyllcorner 0\n"
+                "cellsize 1\nNODATA_value -9999\n")
+        for row in h:
+            f.write(" ".join(f"{v:.2f}" for v in row) + "\n")
+    data = p.read_bytes()
+    q = tmp_path / "cut.asc"
+    full = load_heightmap(str(p))
+    assert full.shape == (19, 19)
+    # cuts inside the LAST number are undetectable in a text format (a
+    # truncated "841.11" still parses as a float and the grid shape is
+    # complete) — exclude the final token; every structural truncation
+    # must raise
+    for cut in list(range(0, len(data) - 8, 11)):
+        q.write_bytes(data[:cut])
+        with pytest.raises(ValueError):
+            load_heightmap(str(q))
