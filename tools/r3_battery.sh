@@ -51,6 +51,14 @@ run tools/sweep_b3.py --reps 3 --schedules "\
 0,2,256,3,2,0,0,0,8,1,0,0,2 \
 0,6,256,3,2,0,0,0,8,1,0,0,1/1,2,4,4,4,4"
 
+# 5c) combined candidates: the likely default is some union of prefix
+#     rounds, band-8 tail, entry sort and sort_dir — measure the
+#     combinations directly so defaults aren't chosen by extrapolation
+run tools/sweep_b3.py --reps 3 --schedules "\
+0,6,256,3,1,0,0,0,8,1,8,0,1/1,2,4,4,4,4 \
+0,6,256,3,2,0,0,0,8,1,0,1,1/1,2,4,4,4,4 \
+0,6,256,3,1,0,0,0,8,1,8,1,1/1,2,4,4,4,4"
+
 # 6) B2/B4 regression check of the candidate defaults
 run tools/check_b2b4.py
 
