@@ -15,14 +15,34 @@ from hmrt_tpu.bench.timing import time_animation
 from hmrt_tpu.types import Camera
 
 
+def _write_row(out_path, row):
+    """Incremental row persistence: the orchestrator (bench.py) kills a
+    config subprocess at its deadline, so everything measured so far must
+    already be on disk (VERDICT r3 next #2c)."""
+    if not out_path:
+        return
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(row, f)
+    import os
+    os.replace(tmp, out_path)
+
+
 def run_bench(name: str, frames: int | None = None, scale: float = 1.0,
-              reps: int = 3, frame_sharded: bool = False) -> dict:
+              reps: int = 3, frame_sharded: bool = False,
+              floor: bool = False, out_path: str | None = None) -> dict:
     """Run one named benchmark config; returns a metric row dict.
 
     `scale` < 1 shrinks the framebuffer (CI smoke mode, SURVEY.md 4.5).
     `frame_sharded`: for animated configs on a multi-chip mesh, shard the
     FRAME axis (distrib.mesh.render_flythrough_sharded) instead of timing
     single-chip — the natural B4 scaling strategy.
+    `floor`: additionally measure lane-steps/frame with the march debug
+    counters and emit the architectural-floor metrics (bench/floor.py);
+    intended for B3.
+    `out_path`: write the row JSON to this file as soon as timing lands
+    (and again after floor enrichment), so a caller-imposed deadline
+    never loses the measurement.
     """
     cfg = BENCH_CONFIGS[name]
     render = cfg.render
@@ -109,6 +129,18 @@ def run_bench(name: str, frames: int | None = None, scale: float = 1.0,
         row["strategy"] = strategy
     if note:
         row["note"] = note
+    _write_row(out_path, row)
+
+    if floor:
+        # enrich AFTER the timing row is persisted: a hang/fault here
+        # must not cost the measurement (VERDICT r3 weak #1)
+        try:
+            from hmrt_tpu.bench.floor import floor_metrics
+            row.update(floor_metrics(scene, cam, render,
+                                     measured_ms=row.get("ms_per_frame")))
+        except Exception as e:  # diagnostic only — never sink the row
+            row["floor_error"] = f"{type(e).__name__}: {e}"
+        _write_row(out_path, row)
     return row
 
 
@@ -125,12 +157,25 @@ def main(argv=None):
                         "(multi-chip B4 strategy)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace here (SURVEY.md sec. 5)")
+    p.add_argument("--out", default=None,
+                   help="also write each row JSON to this file as soon as "
+                        "it is measured (deadline-safe persistence)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (outage fallback; the env "
+                        "var alone does not stick under the axon "
+                        "sitecustomize — must be set via jax.config)")
+    p.add_argument("--floor", action="store_true",
+                   help="add lane-step / architectural-floor metrics to "
+                        "the row (bench/floor.py; meant for B3)")
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from hmrt_tpu.utils.profiling import maybe_trace
     for name in args.configs:
         with maybe_trace(args.profile_dir):
             row = run_bench(name, frames=args.frames, scale=args.scale,
-                            reps=args.reps, frame_sharded=args.frame_sharded)
+                            reps=args.reps, frame_sharded=args.frame_sharded,
+                            floor=args.floor, out_path=args.out)
         print(json.dumps(row))
 
 
