@@ -49,16 +49,16 @@ from jax.experimental.pallas import tpu as pltpu
 from hmrt_tpu.config import RenderConfig
 from hmrt_tpu.core.renderer import SHADOW_EPS
 from hmrt_tpu.kernels.march_body import (BIG_KEY, _multi_gather,
-                                         _scalar_cond,
                                          _vreg_gather, band_gathers,
                                          cascade_index, column_of,
                                          corner_scan, fine_gathers,
                                          subserve_gathers, wavefront_step,
-                                         wavefront_step_l0)
+                                         wavefront_step_l0,
+                                         wavefront_step_l0_relaxed)
 from hmrt_tpu.kernels.packing import (COL_ROWS, CORNER_ROW, PackedScene,
                                       cascade_offsets)
 from hmrt_tpu.shading import shade as sh
-from hmrt_tpu.traversal.intersect import BIG_T, INTERSECTORS
+from hmrt_tpu.traversal.intersect import BIG_T, INTERSECTORS, SURFACES
 from hmrt_tpu.traversal.march import entry_cell, ray_box_range, ray_inverses
 from hmrt_tpu.types import Camera, Frame, Scene
 
@@ -86,10 +86,9 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                        cell_intersect: str,
                        coarse_cap: int, budget: int, inner_cap: int,
                        n_col: int, l0_only: bool = False,
-                       strip_serve: bool = False, subserve: bool = False,
+                       subserve: bool = False,
                        band_serve: int = 0,
-                       l0_conds: bool = False,
-                       drain_min: int = 0, unroll: int = 1,
+                       unroll: int = 1, relax: int = 0,
                        debug: bool = False, clip=None):
     (alive_o, t_o, lvl_o, icx_o, icy_o,
      hit_o, thit_o, hx_o, hy_o) = refs[:9]
@@ -135,6 +134,25 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         st["nal"] = jnp.zeros(shp, jnp.int32)   # alive-lane integral:
         # work/nal = in-set serving efficiency; nal/(1024*nit) = block
         # liveness — splits density loss into its two causes
+    if relax and l0_only:
+        # relaxed-tail mode planes (kernel-local: the whole relaxed phase
+        # runs inside the one unbudgeted tail pass, so they never cross a
+        # pass boundary; a budget exit would restart lanes in stride mode
+        # at their current t, which wavefront_step_l0_relaxed handles by
+        # integer progress — see its docstring)
+        st["rmode"] = jnp.zeros_like(st["icx"])
+        st["tprev"] = st["t"]
+        st["wend"] = jnp.full(st["t"].shape, BIG_T, jnp.float32)
+
+    def l0_step(st, act, corners_fn):
+        if relax:
+            return wavefront_step_l0_relaxed(
+                st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1, gmax,
+                corners_fn, m=m, intersector=intersector,
+                surface=SURFACES[cell_intersect], stride=relax)
+        return wavefront_step_l0(
+            st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1, gmax,
+            corners_fn, m=m, intersector=intersector)
 
     # -------- phase A: coarse levels (VMEM), uncapped by the budget --------
     def a_cond(c):
@@ -168,14 +186,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         _, st = jax.lax.while_loop(a_cond, a_body, (jnp.int32(0), st))
 
     # -------- phase B: column demand loop with iteration budget --------
-    # strip_serve (l0 tail only): serving keys are dual-axis strip-pair
-    # record ids (kernels/packing.py _build_strips) instead of 32x32
-    # column ids, and columns_hbm IS the strips array — the corner gather
-    # then indexes along each ray's dominant axis with no row scan.
-    ns = (m >> 7) * (m >> 1)
-    ydom = jnp.abs(dy) > jnp.abs(dx)
-    n_recs = (2 * ns if strip_serve
-              else (32 // band_serve) * m5 * m5 if band_serve
+    n_recs = ((32 // band_serve) * m5 * m5 if band_serve
               else m5 * m5)
 
     def key_of(st):
@@ -188,13 +199,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
             band = (jnp.clip(st["icy"], 0, m - 1) & 31) >> sh
             return jnp.where(st["alive"] != 0,
                              column_of(st, m5) * q + band, BIG_KEY)
-        if not strip_serve:
-            return column_of(st, m5)
-        icx, icy = st["icx"], st["icy"]
-        kx = (icx >> 7) * (m >> 1) + (icy >> 1)
-        ky = ns + (icy >> 7) * (m >> 1) + (icx >> 1)
-        return jnp.where(st["alive"] != 0,
-                         jnp.where(ydom, ky, kx), BIG_KEY)
+        return column_of(st, m5)
 
     offs = cascade_offsets(l32)
     # subserve: the sublane index plane — each of the block's 8 sublane
@@ -282,15 +287,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         def i_cond(cc):
             k, st = cc
             act = (st["alive"] != 0) & in_set(st)
-            if drain_min == 0:
-                return (k < inner_cap) & jnp.any(act)
-            # drain threshold: leave a set once it thins below drain_min
-            # lanes so the next selection serves a dense fresh set; the
-            # k == 0 escape keeps progress guaranteed when fewer than
-            # drain_min lanes remain alive in the whole block.
-            n_act = jnp.sum(act.astype(jnp.int32))
-            return ((k < inner_cap) & (n_act > 0)
-                    & ((k == 0) | (n_act >= drain_min)))
+            return (k < inner_cap) & jnp.any(act)
 
         def one_step(st):
             act = (st["alive"] != 0) & in_set(st)
@@ -307,18 +304,14 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                 if band_serve:
                     corners_fn = band_gathers(col_scr, bank_masks, f0,
                                               band_rows=band_serve)
-                    return wavefront_step_l0(
-                        st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
-                        gmax, corners_fn, m=m, intersector=intersector)
+                    return l0_step(st, act, corners_fn)
                 fidx = (jnp.zeros_like(f0) if l0_only
                         else cascade_index(lvl, icx, icy, l32, offs))
                 cmax, corners_fn = subserve_gathers(col_scr, bank_masks,
                                                     lvl, fidx, f0,
                                                     l32, CORNER_ROW)
                 if l0_only:
-                    st = wavefront_step_l0(
-                        st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
-                        gmax, corners_fn, m=m, intersector=intersector)
+                    st = l0_step(st, act, corners_fn)
                 else:
                     st = wavefront_step(
                         st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
@@ -331,56 +324,16 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                 # 0.0-0.4% skip rate — pure DDA + exact test), so the
                 # cascade gather, descend, ascent and level arithmetic
                 # are compiled out entirely.
-                if strip_serve:
-                    # dominant-axis strip-pair records: in-record index
-                    # is one coordinate (< 128) — single-row takes, the
-                    # 8-row scan is gone. Row = line parity * 4 + chan.
-                    fs = jnp.where(ydom, icy, icx) & 127
-                    par = (jnp.where(ydom, icx, icy) & 1) == 1
+                def corners_fn():
+                    z = [jnp.zeros(act.shape, jnp.float32)
+                         for _ in range(4)]
+                    for c, sc in enumerate(sels):
+                        mine = cols_now == sc
+                        g = corner_scan(col_scr[base + c], f0, CORNER_ROW)
+                        z = [jnp.where(mine, g[i], z[i]) for i in range(4)]
+                    return tuple(z)
 
-                    def corners_fn():
-                        z = [jnp.zeros(act.shape, jnp.float32)
-                             for _ in range(4)]
-                        for c, sc in enumerate(sels):
-                            mine = cols_now == sc
-                            for ch in range(4):
-                                ge = jnp.take_along_axis(
-                                    jnp.broadcast_to(
-                                        col_scr[base + c, ch:ch + 1, :],
-                                        act.shape), fs, axis=1)
-                                go = jnp.take_along_axis(
-                                    jnp.broadcast_to(
-                                        col_scr[base + c, ch + 4:ch + 5, :],
-                                        act.shape), fs, axis=1)
-                                g = jnp.where(par, go, ge)
-                                z[ch] = jnp.where(mine, g, z[ch])
-                        return tuple(z)
-                else:
-                    def corners_fn():
-                        # per-column scalar conds: as the inner loop runs,
-                        # head columns DRAIN while later ones still march;
-                        # a drained column's 8x4 gather is pure waste.
-                        # (l0_conds gates the experiment — see march_body
-                        # _COND_DEFAULT for why the fused kernel differs.)
-                        z = [jnp.zeros(act.shape, jnp.float32)
-                             for _ in range(4)]
-                        for c, sc in enumerate(sels):
-                            mine = cols_now == sc
-
-                            def gather(c=c, mine=mine, z=z):
-                                g = corner_scan(col_scr[base + c], f0,
-                                                CORNER_ROW)
-                                return tuple(jnp.where(mine, g[i], z[i])
-                                             for i in range(4))
-
-                            z = list(_scalar_cond(
-                                l0_conds, jnp.any(act & mine), gather,
-                                lambda z=z: tuple(z)))
-                        return tuple(z)
-
-                st = wavefront_step_l0(
-                    st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
-                    gmax, corners_fn, m=m, intersector=intersector)
+                st = l0_step(st, act, corners_fn)
             else:
                 at0 = lvl == 0
                 fidx = cascade_index(lvl, icx, icy, l32, offs)
@@ -460,15 +413,12 @@ def _plane_specs(k):
 @functools.partial(jax.jit,
                    static_argnames=("n", "m", "levels", "m5", "l32",
                                     "cell_intersect", "budget", "n_col",
-                                    "l0_only", "strip_serve", "subserve",
-                                    "band_serve", "l0_conds",
-                                    "drain_min", "unroll", "interpret",
-                                    "debug", "clip"))
+                                    "l0_only", "subserve",
+                                    "band_serve", "unroll", "relax",
+                                    "interpret", "debug", "clip"))
 def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
                l32, cell_intersect, budget, n_col=2, l0_only=False,
-               strip_serve=False, subserve=False, band_serve=0,
-               l0_conds=False,
-               drain_min=0, unroll=1,
+               subserve=False, band_serve=0, unroll=1, relax=0,
                interpret=False, debug=False, clip=None):
     """One budgeted march sweep over all ray blocks.
 
@@ -476,8 +426,6 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
     state:   (alive_i32, t, lvl, icx, icy) planes
     results: (hit_i32, t_hit, hx, hy) planes, carried THROUGH the pass so
              resort rounds accumulate hits across passes
-    strip_serve: `columns` is the PackedScene.strips array and serving is
-             by dual-axis strip-pair records (l0_only must be set).
     subserve: serve n_col column records per SUBLANE (8 independent
              demand streams per block) — the scratch is laid out
              transposed, (rows, 8*n_col, 128), so a record's rows land
@@ -489,10 +437,9 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
              per channel (march_body.band_gathers).
     Returns (new_state, new_results).
     """
-    assert not (strip_serve and not l0_only)
-    assert not (strip_serve and subserve)
     assert not (band_serve and not (l0_only and subserve))
     assert band_serve in (0, 4, 8, 16), band_serve
+    assert not (relax and not l0_only), "relax is a level-0 tail mode"
     P = rays[0].shape[0]
     R = P // 128
     planes = [r.reshape(R, 128) for r in rays] \
@@ -506,16 +453,15 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
         _march_pass_kernel, n=n, m=m, levels=levels, m5=m5, l32=l32,
         cell_intersect=cell_intersect,
         coarse_cap=24 * levels + 96, budget=budget, inner_cap=256,
-        n_col=n_col, l0_only=l0_only, strip_serve=strip_serve,
+        n_col=n_col, l0_only=l0_only,
         subserve=subserve, band_serve=band_serve,
-        l0_conds=l0_conds, drain_min=drain_min, unroll=unroll,
+        unroll=unroll, relax=relax,
         debug=debug, clip=clip)
 
     out_dt = ([jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
               + [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
               + ([jnp.int32] * 6 if debug else []))
-    rec_rows = (8 if strip_serve else band_serve if band_serve
-                else COL_ROWS)
+    rec_rows = band_serve if band_serve else COL_ROWS
     scr_shape = ((rec_rows, 8 * n_col, 128) if subserve
                  else (n_col, rec_rows, 128))
     n_sems = 8 * n_col if subserve else max(n_col, 2)
@@ -701,18 +647,6 @@ def _band_key(state, m5, m, bh=4):
                      + ((icyc & 31) >> sh), BIG_KEY)
 
 
-def _strip_key(rays, state, m):
-    """Dual-axis strip-pair record id per lane — the same expression as
-    the kernel's key_of in strip mode (state must be at level 0)."""
-    _, _, _, dx, dy, _ = rays
-    alive, _, _, icx, icy = state
-    ns = (m >> 7) * (m >> 1)
-    ydom = jnp.abs(dy) > jnp.abs(dx)
-    kx = (icx >> 7) * (m >> 1) + (icy >> 1)
-    ky = ns + (icy >> 7) * (m >> 1) + (icx >> 1)
-    return jnp.where(alive != 0, jnp.where(ydom, ky, kx), BIG_KEY)
-
-
 #: Pack i32 state planes into the f32 sort-row matrix by BITCAST instead
 #: of value conversion. Bitcast would be cheaper (no convert ops on 15
 #: planes x 2.07M rays per sort round) and is exact for any i32, BUT it
@@ -751,21 +685,19 @@ def _unpack_rows(rows, dtypes):
                    static_argnames=("config", "n", "m", "levels", "m5",
                                     "l32", "interpret", "first_budget",
                                     "rounds", "round_budget", "n_col",
-                                    "l0_tail", "has_strips", "subserve",
-                                    "band_tail", "l0_conds",
-                                    "drain_min", "unroll", "full_height",
+                                    "l0_tail", "subserve",
+                                    "band_tail",
+                                    "unroll", "full_height",
                                     "prefixes", "shadow_prefixes",
-                                    "entry_sort", "sort_dir"))
-def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
+                                    "sort_dir", "relax"))
+def _render_compact_jit(camera, light, coarse, columns, shade_b,
                         albedo_b, gmax, *, config: RenderConfig, n, m,
                         levels, m5, l32, interpret, first_budget=96,
                         rounds=3, round_budget=256, n_col=2, l0_tail=False,
-                        has_strips=False, subserve=False, band_tail=False,
-                        l0_conds=False,
-                        drain_min=0,
+                        subserve=False, band_tail=False,
                         unroll=1, row0=None, full_height=None,
                         prefixes=None, shadow_prefixes=None,
-                        entry_sort=False, sort_dir=0):
+                        sort_dir=0, relax=0):
     H, W = config.height, config.width
     P = -(-H * W // LANES) * LANES
 
@@ -792,14 +724,14 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
     rbs = ((round_budget,) * max(rounds, 1)
            if isinstance(round_budget, int) else tuple(round_budget))
     mkw = dict(n=n, m=m, levels=levels, m5=m5, l32=l32,
-               cell_intersect=config.cell_intersect, drain_min=drain_min,
+               cell_intersect=config.cell_intersect,
                unroll=unroll, interpret=interpret, clip=config.clip_box)
     state_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
     res_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
 
     def full_march(rays, state, skip_pass0=False, rounds_n=None,
                    prefixes_n=None, sort_ray_planes=(0, 1, 2, 3, 4, 5),
-                   perm0=None, entry_key=False):
+                   perm0=None):
         """Budgeted march passes with PERIODIC COMPACTION (BASELINE.json:5):
         before every round survivors are argsort'ed by their current
         terrain column — state+results ride in a (P, 15) f32 row matrix so
@@ -869,33 +801,13 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                 rays, state, res = args
                 if tail:
                     # force level 0 BEFORE the sort so the sort key is
-                    # the final-pass serving key (strip / band / column)
+                    # the final-pass serving key (band / column)
                     state = _force_level0(rays, state, levels)
                 if not do_sort:
                     return march_round(rays, state, res, tail) + (None,)
-                if entry_key and r == 0:
-                    # pass-0 fusion: no screen-order sweep ran, so lanes
-                    # still sit in the (shared) top pyramid cell — key
-                    # round 0 by the terrain column of each ray's
-                    # LEVEL-0 ENTRY cell instead of its current cell.
-                    # Sorted blocks then share their entry region, so
-                    # the coarse descent runs column-coherent inside
-                    # round 0's march (correctness is unaffected — the
-                    # key only picks who shares a block).
-                    rox, roy, _, rdx, rdy, _ = rays
-                    et0, _, _ = ray_box_range(rox, roy, rdx, rdy,
-                                              float(n - 1),
-                                              config.clip_box)
-                    zl = jnp.zeros(rox.shape, jnp.int32)
-                    ex, ey = entry_cell(rox, roy, rdx, rdy, et0, zl, m)
-                    key = jnp.where(state[0] != 0,
-                                    (ey >> 5) * m5 + (ex >> 5), BIG_KEY)
-                else:
-                    key = (_strip_key(rays, state, m)
-                           if tail and has_strips
-                           else _band_key(state, m5, m, band_tail)
-                           if tail and band_tail
-                           else _column_key(state, m5))
+                key = (_band_key(state, m5, m, band_tail)
+                       if tail and band_tail
+                       else _column_key(state, m5))
                 if sort_dir:
                     # direction-aware grouping: rays of one column that
                     # march the same way exit to the same neighbor, so
@@ -931,9 +843,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                 return march_round(rays, state, res, tail) + (perm,)
 
             def march_round(rays, state, res, tail, last=last, r=r):
-                state, res = march_pass(coarse,
-                                        strips if tail and has_strips
-                                        else columns,
+                state, res = march_pass(coarse, columns,
                                         rays, state, res,
                                         budget=(1 << 22) if last
                                         else rbs[min(r, len(rbs) - 1)],
@@ -941,17 +851,15 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
                                         else ncols[min(r + 1,
                                                        len(ncols) - 1)],
                                         l0_only=tail,
-                                        strip_serve=tail and has_strips,
-                                        subserve=subserve
-                                        and not (tail and has_strips),
+                                        subserve=subserve,
                                         band_serve=(band_tail
                                                     if tail and subserve
-                                                    and not has_strips
                                                     else 0),
-                                        l0_conds=l0_conds, **mkw)
+                                        relax=relax if tail else 0,
+                                        **mkw)
                 return rays, state, res
 
-            if last and l0_tail == "auto" and not has_strips:
+            if last and l0_tail == "auto":
                 # ADAPTIVE tail: the forced-l0 kernel (cascade logic
                 # compiled out) wins ~4% when survivors are grazing-
                 # bound (B3: 99.9% of tail work at level 0) but costs
@@ -1010,8 +918,7 @@ def _render_compact_jit(camera, light, coarse, columns, strips, shade_b,
     hit, t_hit, hx, hy = full_march(rays, _init_state(
         ox, oy, oz, dx, dy, dz, valid0, gmax, n=n, levels=levels,
         clip=config.clip_box), prefixes_n=prefixes,
-        sort_ray_planes=(3, 4, 5),
-        skip_pass0=entry_sort, entry_key=entry_sort)
+        sort_ray_planes=(3, 4, 5))
 
     # ---------------- shading data (sorted by hit column) ----------------
     ts = jnp.where(hit, t_hit, 0.0)
@@ -1106,16 +1013,14 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          first_budget: int = 0, rounds: int = 2,
                          round_budget: int = 256, n_col: int = 3,
                          l0_tail: bool | str = "auto",
-                         strip_tail: bool = False,
                          subserve: bool = True,
                          band_tail: bool | int = False,
-                         l0_conds: bool = False, drain_min: int = 0,
                          unroll: int = 8, row0=None,
                          full_height: int | None = None,
-                         round_prefixes: tuple | None = None,
-                         shadow_prefixes: tuple | None = None,
-                         entry_sort: bool = False,
-                         sort_dir: int = 0) -> Frame:
+                         round_prefixes: tuple | str | None = "auto",
+                         shadow_prefixes: tuple | str | None = "auto",
+                         sort_dir: int = 0,
+                         relax: int = 0) -> Frame:
     """Compacted-wavefront render (see module docstring).
 
     first_budget/rounds/round_budget/n_col: compaction schedule — the
@@ -1147,12 +1052,12 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     round_prefixes[r] rays (each sort compacts alive lanes to the
     front; a full-population unbudgeted guard round completes anything
     a prefix missed, so any schedule is exact). Overrides `rounds` with
-    its length. round_budget may be a per-round tuple.
-
-    entry_sort: fuse the screen-order pass into round 0 by sorting on
-    each ray's level-0 ENTRY-cell column (no march needed for the key);
-    the coarse descent then runs on entry-coherent blocks inside
-    round 0.
+    its length. round_budget may be a per-round tuple. DEFAULT is
+    "auto" for both since the round-4 battery: primary (P, P/2, P/4,
+    P/4) + shadow (P, P/4) measured B3 1694 ms vs 2049 for the
+    unsliced round-3 default (-17%; 1595 with band_tail=8), B2 93 vs
+    109, B4 320 vs 336 (BENCH_NOTES.md round-4 battery). Pass None
+    for unsliced rounds.
 
     sort_dir: refine every resort key with the ray's xy direction
     octant (1 = subordinate to the record key, 2 = octant-major), so
@@ -1160,19 +1065,33 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     blocks stay coherent BETWEEN resorts. Pure permutation choice —
     exact for any value; a perf knob for the measured served/alive
     density loss (BENCH_NOTES diag: 62% in the unbudgeted tail pass).
+
+    relax: RELAXED tail stride in cells (0 = exact, the default). When
+    set, the final tail round samples the cell surface every `relax`
+    cells and replays the exact DDA walk only inside detected brackets
+    (march_body.wavefront_step_l0_relaxed) — the fidelity-bar
+    experiment of VERDICT r3 #4. NOT bit-exact: features narrower than
+    `relax` cells along the ray can be tunneled (no false hits; detected
+    hits carry exact t). Requires the l0 tail (use l0_tail=True; with
+    "auto" it applies only when the tail branch is selected). Fidelity
+    deltas: tools/fidelity_relaxed.py.
     """
     gmax = scene.pyr_flat[-1]
-    has_strips = (strip_tail and l0_tail is True
-                  and packed.strips is not None)
-    strips = (packed.strips if has_strips
-              else jnp.zeros((1, 8, 128), jnp.float32))
     band_tail = 4 if band_tail is True else int(band_tail)
     P = -(-config.height * config.width // LANES) * LANES
     if round_prefixes == "auto":
         # shrink-with-survivors policy: full first sorted round, then
-        # halving slices with a long 1/4 tail (the guard round makes any
-        # sizing exact — mis-sized slices only shift work to it)
-        round_prefixes = (P, P // 2, P // 4, P // 4, P // 4)
+        # halving slices with a 1/4 tail (the guard round makes any
+        # sizing exact — mis-sized slices only shift work to it).
+        # DEFAULT since the r4 battery: 4 rounds (1,2,4,4) beat 6 and 8
+        # uniformly on B3 (1694 vs 1726 with the shadow prefix, 1595 vs
+        # 1641 with band-8), B2 93 vs 109, B4 320 vs 336
+        # (BENCH_NOTES.md round-4 battery tables). Round count scales
+        # with how much compaction can pay: below ~64k rays the extra
+        # sorts/passes dominate (and CI's interpret-mode frames stay
+        # fast), so tiny frames slice once.
+        round_prefixes = ((P, P // 2, P // 4, P // 4) if P >= 64 * 1024
+                          else (P, P // 4))
     if shadow_prefixes == "auto":
         shadow_prefixes = (P, P // 4)
     if round_prefixes is not None:
@@ -1181,14 +1100,12 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     if shadow_prefixes is not None:
         shadow_prefixes = tuple(int(p) for p in shadow_prefixes)
     return _render_compact_jit(
-        camera, scene.light, packed.coarse, packed.columns, strips,
+        camera, scene.light, packed.coarse, packed.columns,
         packed.shade, packed.albedo, gmax, config=config, n=scene.n,
         m=scene.m, levels=scene.levels, m5=packed.m5, l32=packed.l32,
         interpret=interpret, first_budget=first_budget, rounds=rounds,
         round_budget=round_budget, n_col=n_col, l0_tail=l0_tail,
-        has_strips=has_strips, subserve=subserve, band_tail=band_tail,
-        l0_conds=l0_conds,
-        drain_min=drain_min,
+        subserve=subserve, band_tail=band_tail,
         unroll=unroll, row0=row0, full_height=full_height,
         prefixes=round_prefixes, shadow_prefixes=shadow_prefixes,
-        entry_sort=entry_sort, sort_dir=sort_dir)
+        sort_dir=sort_dir, relax=int(relax))

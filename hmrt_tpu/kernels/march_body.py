@@ -361,6 +361,129 @@ def wavefront_step(st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1, gmax,
     return st
 
 
+def wavefront_step_l0_relaxed(st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y,
+                              t1, gmax, corners_fn, *, m, intersector,
+                              surface, stride):
+    """One masked step of the RELAXED level-0 tail (the fidelity-bar
+    experiment, VERDICT r3 next #4 — opt-in, OFF by default).
+
+    The floor analysis (BENCH_NOTES.md) shows the exact tail is ~1 corner
+    gather per CELL on grazing rays and that no conservative bound can skip
+    there (cone fields / span bounds / cell maxima all fire ~0%). This step
+    trades bit-exactness for gathers-per-cell < 1:
+
+      mode A (stride sampling): one gather per `stride` cells — evaluate
+        the cell surface height at the ray's sample point (the SAME
+        piecewise surface the exact intersector tests, via
+        traversal.intersect.SURFACES) and compare against the ray height.
+        While above, jump the sample `stride` cells along the dominant
+        axis. On a below-sample, backtrack to the last above-sample and
+        enter mode B over the bracket.
+      mode B (exact in-bracket walk): identical math to wavefront_step_l0
+        (same per-cell entry/exit t from the origin, same intersector,
+        same T_TOL window), capped at the bracket end: when the walk's t
+        passes the below-sample without a hit (intersector/sample
+        tolerance disagreement — rare by the continuity argument in
+        intersect.py), it returns to mode A from where it stands.
+
+    Fidelity contract: a below-sample implies a crossing inside the
+    bracket (the surface is continuous and the sampled evaluator matches
+    the intersector), so every DETECTED bracket yields the exact first
+    hit within it, with the same t the exact march computes (per-cell t
+    values are origin-anchored and bit-identical). The ONLY error mode is
+    tunneling: the surface rising above the ray and dipping back below
+    between two consecutive above-samples — a feature narrower than
+    `stride` cells along the ray. No false hits exist. Measured fidelity
+    deltas: tools/fidelity_relaxed.py.
+
+    Extra i32/f32 state planes (kernel-local, see kernels/compact.py):
+    rmode (0=stride, 1=walk), tprev (last above-sample t), wend (bracket
+    end t).
+    """
+    t, icx, icy = st["t"], st["icx"], st["icy"]
+    rmode, tprev, wend = st["rmode"], st["tprev"], st["wend"]
+
+    # bracket exhausted -> resume stride sampling from where the walk stands
+    walk0 = act & (rmode != 0)
+    exhaust = walk0 & (t > wend + T_TOL)
+    rmode = jnp.where(exhaust, 0, rmode)
+    tprev = jnp.where(exhaust, t, tprev)
+    walk = act & (rmode != 0)
+    samp = act & (rmode == 0)
+
+    z00, z10, z01, z11 = corners_fn()
+
+    # ---- mode B: exact DDA walk (same expressions as wavefront_step_l0) ----
+    pos_x = dx > 0.0
+    pos_y = dy > 0.0
+    bx = icx + pos_x.astype(jnp.int32)
+    by = icy + pos_y.astype(jnp.int32)
+    tx = (bx.astype(jnp.float32) - ox) * inv_x
+    ty = (by.astype(jnp.float32) - oy) * inv_y
+    tx = jnp.where(jnp.abs(dx) < 1e-20, BIG_T, tx)
+    ty = jnp.where(jnp.abs(dy) < 1e-20, BIG_T, ty)
+    axis_x = tx <= ty
+    t_exit = jnp.minimum(tx, ty)
+    nx = jnp.where(axis_x, icx + jnp.where(pos_x, 1, -1), icx)
+    ny = jnp.where(axis_x, icy, icy + jnp.where(pos_y, 1, -1))
+    t_exit_c = jnp.minimum(t_exit, t1)
+    h, t_c = intersector(ox, oy, oz, dx, dy, dz, icx, icy,
+                         z00, z10, z01, z11, t - T_TOL, t_exit_c + T_TOL)
+    hit_now = h & walk
+    wadv = walk & ~hit_now
+    wt = jnp.maximum(t, t_exit_c)
+    wesc = wadv & (oz + wt * dz > gmax) & (dz > 0.0)
+    wout = (wadv & ((t_exit >= t1 - EPS_EXIT)
+                    | (nx < 0) | (nx >= m) | (ny < 0) | (ny >= m))
+            | wesc)
+
+    # ---- mode A: stride sampling at the current position ----
+    fxs = ox + t * dx - icx.astype(jnp.float32)
+    fys = oy + t * dy - icy.astype(jnp.float32)
+    zs = surface(fxs, fys, z00, z10, z01, z11)
+    below = samp & (oz + t * dz <= zs)
+    above = samp & ~below
+    stride_t = stride * jnp.minimum(jnp.abs(inv_x), jnp.abs(inv_y))
+    ts_new = jnp.maximum(t, jnp.minimum(t + stride_t, t1 - EPS_EXIT))
+    sout = above & (t >= t1 - 2.0 * EPS_EXIT)
+    sesc = above & (oz + ts_new * dz > gmax) & (dz > 0.0)
+    sadv = above & ~sout & ~sesc
+    sx = jnp.clip(jnp.floor(ox + ts_new * dx).astype(jnp.int32), 0, m - 1)
+    sy = jnp.clip(jnp.floor(oy + ts_new * dy).astype(jnp.int32), 0, m - 1)
+    # backtrack: the bracket start is the last above-sample
+    bwx = jnp.clip(jnp.floor(ox + tprev * dx).astype(jnp.int32), 0, m - 1)
+    bwy = jnp.clip(jnp.floor(oy + tprev * dy).astype(jnp.int32), 0, m - 1)
+
+    new_t = jnp.where(wadv, wt, t)
+    new_t = jnp.where(sadv, ts_new, new_t)
+    new_t = jnp.where(below, tprev, new_t)
+    new_icx = jnp.where(wadv, nx, icx)
+    new_icx = jnp.where(sadv, sx, new_icx)
+    new_icx = jnp.where(below, bwx, new_icx)
+    new_icy = jnp.where(wadv, ny, icy)
+    new_icy = jnp.where(sadv, sy, new_icy)
+    new_icy = jnp.where(below, bwy, new_icy)
+
+    dead = hit_now | wout | sout | sesc
+    st = dict(st)
+    st["t"] = new_t
+    st["icx"] = new_icx
+    st["icy"] = new_icy
+    st["rmode"] = jnp.where(below, 1, rmode)
+    st["tprev"] = jnp.where(sadv, t, tprev)
+    st["wend"] = jnp.where(below, t, wend)
+    st["alive"] = st["alive"] * (1 - dead.astype(jnp.int32))
+    st["hit"] = jnp.maximum(st["hit"], hit_now.astype(jnp.int32))
+    st["t_hit"] = jnp.where(hit_now, t_c, st["t_hit"])
+    st["hx"] = jnp.where(hit_now, icx, st["hx"])
+    st["hy"] = jnp.where(hit_now, icy, st["hy"])
+    if "nskip" in st:
+        st = dict(st,
+                  nskip=st["nskip"] + sadv.astype(jnp.int32),
+                  ntest=st["ntest"] + walk.astype(jnp.int32))
+    return st
+
+
 def wavefront_step_l0(st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
                       gmax, corners_fn, *, m, intersector):
     """Level-0-only masked step: uniform DDA + exact test, NO pyramid.

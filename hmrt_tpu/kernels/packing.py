@@ -116,7 +116,6 @@ class PackedScene:
     columns: jax.Array   # (m5^2, 36, 128) f32 — per-column cascade + corners
     shade: jax.Array     # (NB0, 8, 8, 128) f32 — corner gradients gx,gy x 4
     albedo: jax.Array | None  # (NB0, 12, 8, 128) f32 — RGB at 4 cell corners
-    strips: jax.Array | None  # (2*NS, 8, 128) f32 — dual-axis strip corners
     m5: int
     l32: int
     nb0: int
@@ -145,50 +144,8 @@ def _corner_grads(heights: jax.Array):
     return gx, gy
 
 
-STRIP = 128                # cells per strip along the ray's dominant axis
-
-
-def strip_count(m: int) -> int:
-    """Records per layout: (m/128 strip-blocks) x (m/2 adjacent-line pairs)."""
-    return (m >> 7) * (m >> 1)
-
-
-def _build_strips(corner_grids, m: int) -> jax.Array:
-    """Dual-axis strip-pair corner records for the level-0 tail march.
-
-    The compacted march's final pass is pure cell-by-cell DDA (measured
-    99.9% level 0, ~0% skip rate — BENCH_NOTES.md), so its only real cost
-    is fetching 4 corner heights per lane per cell from a 32x32 column
-    record: an 8-row x 4-channel lane-shuffle scan. A grazing ray however
-    moves along its DOMINANT axis almost every step, so corners laid out
-    along that axis make the in-record index < 128: the gather needs no
-    row scan at all. This function builds both orientations:
-
-      x-layout record r = xs*(m/2) + (y>>1), for cells
-          x in [128*xs, 128*xs+128), y in {2*(y>>1), 2*(y>>1)+1}:
-          row (y&1)*4 + ch holds channel ch at lane x&127;
-      y-layout record NS + ys*(m/2) + (x>>1)  (NS = strip_count(m)),
-          mirrored: row (x&1)*4 + ch at lane y&127.
-
-    Records PAIR two adjacent lines so the 1-cell sideways drift of a
-    grazing ray (and the zigzag of a ~45-degree ray) usually stays inside
-    the serving record. Channel values are the same padded cell-corner
-    grids as the column records — bit-identical exact tests.
-    Costs 32*m^2 bytes of HBM (4096^2: 512 MB); built only when the
-    compact backend's strip tail is enabled (pack_scene(strips=...)).
-    """
-    a = jnp.stack(corner_grids, axis=0)               # (4, y, x)
-    ax = a.reshape(4, m // 2, 2, m // STRIP, STRIP)   # (ch, yh, par, xs, x)
-    x_rec = ax.transpose(3, 1, 2, 0, 4).reshape(-1, 8, STRIP)
-    ay = a.transpose(0, 2, 1)                         # (ch, x, y)
-    ay = ay.reshape(4, m // 2, 2, m // STRIP, STRIP)  # (ch, xh, par, ys, yy)
-    y_rec = ay.transpose(3, 1, 2, 0, 4).reshape(-1, 8, STRIP)
-    return jnp.concatenate([x_rec, y_rec], axis=0)
-
-
-@partial(jax.jit, static_argnames=("n", "m", "with_strips"))
-def _pack_arrays(heights: jax.Array, albedo, *, n: int, m: int,
-                 with_strips: bool = False):
+@partial(jax.jit, static_argnames=("n", "m"))
+def _pack_arrays(heights: jax.Array, albedo, *, n: int, m: int):
     levels = build_levels(heights)
     m5 = max(m // BRICK, 1)
     l32 = max(m.bit_length() - COARSE_SIDE.bit_length(), 0)  # levels bricked
@@ -238,8 +195,6 @@ def _pack_arrays(heights: jax.Array, albedo, *, n: int, m: int,
     # in-column chunk k — each 32x4-cell band is 4 contiguous rows
     corner_stack = jnp.stack([_to_bricks(z) for z in corner_grids], axis=0)
     corner_flat = corner_stack.transpose(1, 2, 0, 3).reshape(m5 * m5, 4096)
-    strips = (_build_strips(corner_grids, m)
-              if with_strips and m >= STRIP else None)
 
     # assemble (m5^2, 36, 128) column records
     assert casc.shape[1] <= COL_CASC_ROWS * 128, casc.shape
@@ -268,30 +223,19 @@ def _pack_arrays(heights: jax.Array, albedo, *, n: int, m: int,
                           a[c, 1:, :-1], a[c, 1:, 1:]])
         # order: r00,r10,r01,r11, g00,..., b11
         alb = jnp.stack([_to_bricks(pad_cells(ch)) for ch in chans], axis=1)
-    return coarse, columns, shade, alb, strips
+    return coarse, columns, shade, alb
 
 
-def pack_scene(scene: Scene, strips: bool | None = None) -> PackedScene:
-    """Build the brick-packed device layout for a Scene (once per scene).
-
-    strips: build the dual-axis strip corner records for the compact
-    backend's strip tail (32*m^2 bytes extra HBM). Default OFF: measured
-    on B3 the strip tail LOSES to the 32x32 column tail (2901 vs
-    2592 ms) — the 128x2-cell footprint thrashes on sideways drift, and
-    serve density drops faster than the single-row gather saves
-    (BENCH_NOTES.md). Kept as an option because the records are exact
-    and axis-hugging workloads (orthographic flyovers) may differ.
-    """
+def pack_scene(scene: Scene) -> PackedScene:
+    """Build the brick-packed device layout for a Scene (once per scene)."""
     m = scene.m
     if m < 64:
         raise ValueError("brick kernel needs a padded cell grid of >= 64 "
                          f"(heightmap >= 66 samples); got M={m}")
-    if strips is None:
-        strips = False
-    coarse, columns, shade, alb, strip_arr = _pack_arrays(
-        scene.heights, scene.albedo, n=scene.n, m=m, with_strips=strips)
+    coarse, columns, shade, alb = _pack_arrays(
+        scene.heights, scene.albedo, n=scene.n, m=m)
     m5 = m // BRICK
     l32 = m.bit_length() - COARSE_SIDE.bit_length()
     return PackedScene(coarse=coarse, columns=columns,
-                       shade=shade, albedo=alb, strips=strip_arr,
+                       shade=shade, albedo=alb,
                        m5=m5, l32=l32, nb0=m5)

@@ -155,3 +155,43 @@ INTERSECTORS = {
     "bilinear": intersect_bilinear,
     "flat": intersect_flat,
 }
+
+
+# ---------------------------------------------------------------------------
+# Point evaluation of the SAME cell surface each intersector tests against.
+# Used by the relaxed stride march (kernels/march_body.py
+# wavefront_step_l0_relaxed): a sampled point below surface_*() implies, by
+# continuity of the piecewise surface, that a crossing exists between the
+# last above-sample and this one, so the exact in-bracket walk (which runs
+# the matching intersect_*() in every cell of the bracket) is guaranteed to
+# find a hit. The pairing intersector<->surface must therefore never be
+# mixed across kinds.
+# ---------------------------------------------------------------------------
+
+def surface_triangle(u, v, z00, z10, z01, z11):
+    """Height of the two-triangle cell surface at local (u, v) in [0,1]^2
+    (same planes as intersect_triangles, split along the (10)-(01)
+    diagonal)."""
+    zl = z00 + (z10 - z00) * u + (z01 - z00) * v
+    zu = (z10 - z11 + z01) + (z11 - z01) * u + (z11 - z10) * v
+    return jnp.where(u + v <= 1.0, zl, zu)
+
+
+def surface_bilinear(u, v, z00, z10, z01, z11):
+    """Height of the bilinear patch at local (u, v)."""
+    b = z10 - z00
+    c = z01 - z00
+    e = z11 - z10 - z01 + z00
+    return z00 + b * u + c * v + e * u * v
+
+
+def surface_flat(u, v, z00, z10, z01, z11):
+    """Height of the flat column top (cell max corner height)."""
+    return jnp.maximum(jnp.maximum(z00, z10), jnp.maximum(z01, z11))
+
+
+SURFACES = {
+    "triangle": surface_triangle,
+    "bilinear": surface_bilinear,
+    "flat": surface_flat,
+}

@@ -74,24 +74,6 @@ def test_compact_texture(scene128c):
     _compare(sc, terr, RenderConfig(width=128, height=32, texture=True))
 
 
-def test_compact_strip_tail(scene128c):
-    """The optional dual-axis strip tail (pack_scene(strips=True) +
-    strip_tail=True) must be exact like the default column tail."""
-    from hmrt_tpu.kernels.packing import pack_scene
-
-    scene, terr = scene128c
-    packed = pack_scene(scene, strips=True)
-    assert packed.strips is not None
-    cam = _cam(terr)
-    cfg = RenderConfig(width=128, height=32, shading="phong")
-    fc = render_frame_compact(scene, packed, cam, cfg,
-                              interpret=INTERPRET, l0_tail=True,
-                              strip_tail=True, unroll=UNROLL)
-    fo = render_frame_oracle(scene, cam, cfg)
-    np.testing.assert_array_equal(np.asarray(fc.hit), np.asarray(fo.hit))
-    assert np.abs(np.asarray(fc.color) - np.asarray(fo.color)).max() < 5e-5
-
-
 def test_compact_l0_tail(scene128c):
     """The optional forced-level-0 tail (l0_tail=True; off by default —
     it wins ~1.5% on grazing-tail workloads like B3 but costs 2.2x on
@@ -105,31 +87,6 @@ def test_compact_l0_tail(scene128c):
     fo = render_frame_oracle(scene, cam, cfg)
     np.testing.assert_array_equal(np.asarray(fc.hit), np.asarray(fo.hit))
     assert np.abs(np.asarray(fc.color) - np.asarray(fo.color)).max() < 5e-5
-
-
-def test_strip_layout_roundtrip():
-    """Strip-pair records index back to the source grids exactly
-    (both orientations, kernels/packing._build_strips contract)."""
-    import jax.numpy as jnp
-
-    from hmrt_tpu.kernels.packing import _build_strips, strip_count
-
-    rng = np.random.default_rng(0)
-    m = 256
-    grids = [jnp.asarray(rng.standard_normal((m, m)).astype(np.float32))
-             for _ in range(4)]
-    S = np.asarray(_build_strips(grids, m))
-    ns = strip_count(m)
-    assert S.shape == (2 * ns, 8, 128)
-    xs = rng.integers(0, m, 200)
-    ys = rng.integers(0, m, 200)
-    chs = rng.integers(0, 4, 200)
-    for x, y, ch in zip(xs, ys, chs):
-        g = np.asarray(grids[ch])[y, x]
-        assert S[(x >> 7) * (m >> 1) + (y >> 1), (y & 1) * 4 + ch,
-                 x & 127] == g
-        assert S[ns + (y >> 7) * (m >> 1) + (x >> 1), (x & 1) * 4 + ch,
-                 y & 127] == g
 
 
 def test_compact_odd_resolution(scene128c):
@@ -281,33 +238,12 @@ def test_compact_prefix_rounds(scene128c):
                       - np.asarray(fo.color)).max() < 5e-5
 
 
-def test_compact_entry_sort(scene128c):
-    """entry_sort=True fuses pass 0 into round 0: no screen-order sweep,
-    round 0 is keyed by each ray's level-0 ENTRY cell column instead of
-    its post-descent column. Pure serving policy — pixel-exact; covers
-    shadows and combination with prefixes."""
-    scene, terr = scene128c
-    for cfg, prefixes in [
-            (RenderConfig(width=256, height=64, shading="phong"), None),
-            (RenderConfig(width=128, height=32, shadows=True),
-             (0, 2048, 2048))]:
-        fc = render_frame_compact(scene, scene.packed, _cam(terr), cfg,
-                                  interpret=INTERPRET, unroll=UNROLL,
-                                  entry_sort=True, l0_tail="auto",
-                                  round_prefixes=prefixes)
-        fo = render_frame_oracle(scene, _cam(terr), cfg)
-        np.testing.assert_array_equal(np.asarray(fc.hit),
-                                      np.asarray(fo.hit))
-        assert np.abs(np.asarray(fc.color)
-                      - np.asarray(fo.color)).max() < 5e-5
-
-
 def test_compact_sort_dir(scene128c):
     """sort_dir refines every resort key with the ray's xy-direction
     octant (1 = subordinate to the record key, 2 = octant-major) so
     blocks stay record-coherent between resorts. The key only chooses
     who shares a block — any value must be pixel-exact, including when
-    combined with band tails, entry sort, and prefix rounds."""
+    combined with band tails and prefix rounds."""
     scene, terr = scene128c
     cases = [
         (RenderConfig(width=256, height=64, shading="phong"),
@@ -315,7 +251,7 @@ def test_compact_sort_dir(scene128c):
         (RenderConfig(width=128, height=32, shadows=True),
          dict(sort_dir=2, band_tail=8, l0_tail="auto")),
         (RenderConfig(width=128, height=32, shadows=True),
-         dict(sort_dir=1, entry_sort=True, round_prefixes=(0, 2048, 1024),
+         dict(sort_dir=1, round_prefixes=(0, 2048, 1024),
               shadow_prefixes=(0, 1024))),
     ]
     for cfg, kw in cases:

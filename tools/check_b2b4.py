@@ -30,13 +30,14 @@ def main():
     from hmrt_tpu.types import Camera
 
     variants = [
-        # label, kwargs (production defaults = whatever compact.py ships)
+        # label, kwargs (production defaults = whatever compact.py ships;
+        # since the r4 battery that means auto prefixes + shadow prefixes)
         ("defaults", {}),
-        ("l0_tail=auto", {"l0_tail": "auto"}),
+        ("r3-defaults(no-prefix)", {"round_prefixes": None,
+                                    "shadow_prefixes": None, "rounds": 2}),
         ("l0_tail=False", {"l0_tail": False}),
-        ("l0=F,sub=F,ncol4,rb512,unroll4",
-         {"l0_tail": False, "subserve": False, "n_col": 4,
-          "round_budget": 512, "unroll": 4, "rounds": 2}),
+        ("band8", {"band_tail": 8}),
+        ("band8+l0_tail=True", {"band_tail": 8, "l0_tail": True}),
     ]
 
     for which in args.which:
@@ -49,9 +50,6 @@ def main():
         variants_w = variants + [
             ("prefix/1,2,4,4", {"round_prefixes": (P, P // 2, P // 4,
                                                    P // 4)}),
-            ("entry+prefix", {"entry_sort": True,
-                              "round_prefixes": (P, P // 2, P // 4,
-                                                 P // 4)}),
             ("sort_dir=1", {"sort_dir": 1}),
         ]
         # orbit-style camera (B4's flythrough regime: oblique, pyramid-

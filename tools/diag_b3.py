@@ -44,16 +44,15 @@ def main():
                          "with --map 8192 to capture the survivor level "
                          "mix that should calibrate L0_TAIL_AUTO_THRESH)")
     args = ap.parse_args()
-    # sched format = sweep_b3's: fb,rounds,rb,ncol,l0,strip,conds,dmin,
-    # unroll,sub (strip/conds/dmin ignored here)
+    # sched format = sweep_b3's (r4, post-prune):
+    # fb,rounds,rb,ncol,l0,unroll,sub,band,sdir[,relax — ignored here]
     parts = [int(v) for v in args.sched.split(",")]
     fb, rounds, rb, n_col = parts[:4]
     l0_tail = bool(parts[4]) if len(parts) > 4 else False
-    unroll = parts[8] if len(parts) > 8 else 1
-    sub = bool(parts[9]) if len(parts) > 9 else False
-    band = int(parts[10]) if len(parts) > 10 else 0
-    band = 4 if band == 1 else band   # legacy bool flag
-    sdir = int(parts[12]) if len(parts) > 12 else 0
+    unroll = parts[5] if len(parts) > 5 else 1
+    sub = bool(parts[6]) if len(parts) > 6 else False
+    band = int(parts[7]) if len(parts) > 7 else 0
+    sdir = int(parts[8]) if len(parts) > 8 else 0
 
     import dataclasses
 

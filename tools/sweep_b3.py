@@ -37,30 +37,22 @@ def main():
     n = args.map
     terr = procedural_terrain(n, seed=3)
     scene = make_scene(terr)
-    if any(len(s.split(",")) > 5 and s.split(",")[5] == "1"
-           for s in args.schedules.split()):
-        from hmrt_tpu.kernels.packing import pack_scene
-        scene = dataclasses.replace(scene,
-                                    packed=pack_scene(scene, strips=True))
     zmax = float(terr.max())
     cam0 = Camera.create(eye=(n * 0.5, -n * 0.25, zmax + n * 0.06),
                          target=(n * 0.5, n * 0.5, float(terr.mean())),
                          fov_y_deg=55.0)
 
     def run(sched, salt, prefixes=None, spref=None):
+        # grammar (r4, post-prune): fb,r,rb,nc,l0,unroll,sub,band,sdir,relax
         fb, r, rb, nc = sched[:4]
         # 0=off, 1=on, 2=adaptive ("auto")
         l0 = ([False, True, "auto"][int(sched[4])]
               if len(sched) > 4 else False)
-        strip = bool(sched[5]) if len(sched) > 5 else False
-        conds = bool(sched[6]) if len(sched) > 6 else False
-        dmin = int(sched[7]) if len(sched) > 7 else 0
-        unroll = int(sched[8]) if len(sched) > 8 else 1
-        sub = bool(sched[9]) if len(sched) > 9 else False
-        band = int(sched[10]) if len(sched) > 10 else 0
-        band = 4 if band == 1 else band   # legacy bool flag
-        entry = bool(sched[11]) if len(sched) > 11 else False
-        sdir = int(sched[12]) if len(sched) > 12 else 0
+        unroll = int(sched[5]) if len(sched) > 5 else 1
+        sub = bool(sched[6]) if len(sched) > 6 else False
+        band = int(sched[7]) if len(sched) > 7 else 0
+        sdir = int(sched[8]) if len(sched) > 8 else 0
+        relax = int(sched[9]) if len(sched) > 9 else 0
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
         if isinstance(nc, tuple) and len(nc) == 1:
@@ -68,19 +60,19 @@ def main():
         fr = render_frame_compact(scene, scene.packed, cam, cfg,
                                   first_budget=fb, rounds=r,
                                   round_budget=rb, n_col=nc, l0_tail=l0,
-                                  strip_tail=strip, l0_conds=conds,
-                                  drain_min=dmin, unroll=unroll,
+                                  unroll=unroll,
                                   subserve=sub, band_tail=band,
                                   round_prefixes=prefixes,
                                   shadow_prefixes=spref,
-                                  entry_sort=entry, sort_dir=sdir)
+                                  sort_dir=sdir,
+                                  relax=relax)
         return float(jnp.sum(fr.color[::16, ::16]))
 
     P = -(-w * h // 1024) * 1024
 
     for stxt in args.schedules.split():
         # schedule grammar: "<fields>[/<prefix divisors>[/<shadow divs>]]"
-        # e.g. 0,6,256,3,2,0,0,0,8,1/1,2,4,4,4,4/1,2 — round r sorts and
+        # e.g. 0,4,256,3,2,8,1,8/1,2,4,4/1,4 — round r sorts and
         # marches only the first P//div_r rays (kernels/compact.py
         # round_prefixes); rounds is overridden by the divisor count.
         parts_txt = stxt.split("/")
