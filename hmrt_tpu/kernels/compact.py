@@ -1014,7 +1014,7 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          round_budget: int = 256, n_col: int = 3,
                          l0_tail: bool | str = "auto",
                          subserve: bool = True,
-                         band_tail: bool | int = False,
+                         band_tail: bool | int = 8,
                          unroll: int = 8, row0=None,
                          full_height: int | None = None,
                          round_prefixes: tuple | str | None = "auto",
@@ -1043,9 +1043,11 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     best of both within cond overhead. band_tail (band-granular tail
     serving; value = band height in cell rows, legacy True == 4):
     32x4 bands measured 2205-2438 vs 2038 — rejected; 32x8 halves the
-    record-area penalty at a 4x cheaper corner scan (see BENCH_NOTES).
-    Sweep history: (96,3,256,2) 3522 ms, (96,2,384,4) 2882, (0,3,320,4)
-    2829, (0,2,512,4) 2652, (0,4,256,8) 3725.
+    record-area penalty at a 4x cheaper corner scan and is the DEFAULT
+    since the r4c battery (B3 1597 vs 1688 no-band under the auto
+    tail; B2 90 vs 98; inert on B4 where auto selects the non-tail
+    branch). Sweep history: (96,3,256,2) 3522 ms, (96,2,384,4) 2882,
+    (0,3,320,4) 2829, (0,2,512,4) 2652, (0,4,256,8) 3725.
 
     round_prefixes/shadow_prefixes: per-round population prefixes for
     the primary/shadow march — round r sorts and marches only the first
