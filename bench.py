@@ -50,7 +50,10 @@ PROBE_SRC = ("import jax, jax.numpy as jnp; "
 # BASELINE.json:2 defines the B3/B5 schema).
 _PLAN = [("B3", 4, 2, 1200, True), ("B2", 3, 2, 420, False),
          ("B4", 3, 1, 700, False), ("B5", 2, 1, 420, False),
-         ("B1", 2, 1, 300, False)]
+         # 300s starved B1 on a slow-tunnel day (2026-08-19: two probe
+         # timeouts, every compile ~2x) — the deadline guards hangs, not
+         # slow compiles, and B1 is the last config so it risks nothing
+         ("B1", 2, 1, 480, False)]
 
 
 def _env():
