@@ -438,7 +438,9 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
     Returns (new_state, new_results).
     """
     assert not (band_serve and not (l0_only and subserve))
-    assert band_serve in (0, 4, 8, 16), band_serve
+    # 32 = whole-column key but the DMA copies ONLY the 32 corner rows
+    # (the l0 tail never reads the cascade rows of the 36-row record)
+    assert band_serve in (0, 4, 8, 16, 32), band_serve
     assert not (relax and not l0_only), "relax is a level-0 tail mode"
     P = rays[0].shape[0]
     R = P // 128
@@ -1014,7 +1016,7 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          round_budget: int = 256, n_col: int = 3,
                          l0_tail: bool | str = "auto",
                          subserve: bool = True,
-                         band_tail: bool | int = 8,
+                         band_tail: bool | int | str = "auto",
                          unroll: int = 8, row0=None,
                          full_height: int | None = None,
                          round_prefixes: tuple | str | None = "auto",
@@ -1041,13 +1043,13 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     picks per frame via lax.cond on the survivors' level mix
     (L0_TAIL_AUTO_THRESH): measured B3 2087 / B4 340 / B2 100 — the
     best of both within cond overhead. band_tail (band-granular tail
-    serving; value = band height in cell rows, legacy True == 4):
-    32x4 bands measured 2205-2438 vs 2038 — rejected; 32x8 halves the
-    record-area penalty at a 4x cheaper corner scan and is the DEFAULT
-    since the r4c battery (B3 1597 vs 1688 no-band under the auto
-    tail; B2 90 vs 98; inert on B4 where auto selects the non-tail
-    branch). Sweep history: (96,3,256,2) 3522 ms, (96,2,384,4) 2882,
-    (0,3,320,4) 2829, (0,2,512,4) 2652, (0,4,256,8) 3725.
+    serving; value = band height in cell rows, legacy True == 4;
+    DEFAULT "auto" = 16 on maps >= 2048^2 else 8): the r4d/r4e band
+    curve on B3 is 4: 1860, 8: 1597, **16: 1474**, 32: 1692, none:
+    1688; on B2 (1024^2) band8 85 vs band16 99; inert on B4 where the
+    auto tail selects the non-tail branch. Sweep history:
+    (96,3,256,2) 3522 ms, (96,2,384,4) 2882, (0,3,320,4) 2829,
+    (0,2,512,4) 2652, (0,4,256,8) 3725.
 
     round_prefixes/shadow_prefixes: per-round population prefixes for
     the primary/shadow march — round r sorts and marches only the first
@@ -1079,6 +1081,13 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     deltas: tools/fidelity_relaxed.py.
     """
     gmax = scene.pyr_flat[-1]
+    if band_tail == "auto":
+        # the serving-record-height optimum scales with the map: the
+        # r4d/r4e band curve has its minimum at 32x16 on B3/B4-class
+        # maps (B3 1474 vs 1597 at 8) but at 32x8 on 1024^2 (B2 85 vs
+        # 99 at 16) — smaller maps have shorter grazing runs per
+        # column, so the bigger record wastes its extra rows
+        band_tail = 16 if scene.m >= 2048 else 8
     band_tail = 4 if band_tail is True else int(band_tail)
     P = -(-config.height * config.width // LANES) * LANES
     if round_prefixes == "auto":

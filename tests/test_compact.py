@@ -161,7 +161,9 @@ def test_compact_band_tail(scene128c):
             (8, (_cam(terr),
                  RenderConfig(width=128, height=32, shading="phong",
                               shadows=True))),
-            (16, (_cam(terr), RenderConfig(width=128, height=16)))]:
+            (16, (_cam(terr), RenderConfig(width=128, height=16))),
+            # 32 = column key, corner-rows-only DMA (no cascade rows)
+            (32, (graze, RenderConfig(width=256, height=16)))]:
         fc = render_frame_compact(scene, scene.packed, cam, cfg,
                                   interpret=INTERPRET, subserve=True,
                                   l0_tail=True, band_tail=bh,
