@@ -48,12 +48,13 @@ PROBE_SRC = ("import jax, jax.numpy as jnp; "
 # carries an explicit resolution caveat: it is benchmarked at 1280x720
 # (BASELINE.json:10 does not pin B4's resolution; the 1920x1080 in
 # BASELINE.json:2 defines the B3/B5 schema).
-_PLAN = [("B3", 4, 2, 1200, True), ("B2", 3, 2, 420, False),
-         ("B4", 3, 1, 700, False), ("B5", 2, 1, 420, False),
-         # 300s starved B1 on a slow-tunnel day (2026-08-19: two probe
-         # timeouts, every compile ~2x) — the deadline guards hangs, not
-         # slow compiles, and B1 is the last config so it risks nothing
-         ("B1", 2, 1, 480, False)]
+# B1 runs right after B3: standalone it takes ~3 min (setup 61 s,
+# frame 46 ms — measured 2026-08-19), but when it ran LAST it starved
+# its deadline twice in a row (480 s!) — the tunnel degrades over a
+# long serial bench session, so the cheap config goes early, not last.
+_PLAN = [("B3", 4, 2, 1200, True), ("B1", 2, 1, 480, False),
+         ("B2", 3, 2, 420, False),
+         ("B4", 3, 1, 700, False), ("B5", 2, 1, 420, False)]
 
 
 def _env():
