@@ -13,6 +13,11 @@ from hmrt_tpu.kernels.compact import render_frame_compact
 from hmrt_tpu.types import Camera
 
 INTERPRET = not bool(os.environ.get("HMRT_TEST_TPU"))
+
+# the interpret-mode kernel matrix is the bulk of CI wall time; the same
+# paths run compiled (fast) under HMRT_TEST_TPU=1, so the slow marker
+# applies only to the interpreted variant (fast gate: -m "not slow")
+pytestmark = pytest.mark.slow if INTERPRET else []
 # unroll>1 is bit-identical by construction (masked sub-steps) but costs
 # ~4x wall time under the Pallas interpreter, so the suite pins 1 there;
 # test_compact_unroll_parity covers the unrolled path at small scale.

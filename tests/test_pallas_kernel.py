@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret/virtual-mesh renders; fast gate: -m "not slow"
+
 import jax
 
 from hmrt_tpu.api.scene import make_scene

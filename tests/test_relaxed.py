@@ -20,6 +20,9 @@ import os
 import numpy as np
 import pytest
 
+INTERPRET = not __import__("os").environ.get("HMRT_TEST_TPU")
+pytestmark = pytest.mark.slow if INTERPRET else []
+
 from hmrt_tpu.api.scene import make_scene
 from hmrt_tpu.config import RenderConfig
 from hmrt_tpu.core.renderer import render_frame_oracle

@@ -9,6 +9,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret/virtual-mesh renders; fast gate: -m "not slow"
+
 from hmrt_tpu.config import RenderConfig
 from hmrt_tpu.core.renderer import render_frame
 from hmrt_tpu.distrib.mesh import make_mesh, render_frame_sharded, replicate_scene
