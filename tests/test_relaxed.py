@@ -20,7 +20,7 @@ import os
 import numpy as np
 import pytest
 
-INTERPRET = not __import__("os").environ.get("HMRT_TEST_TPU")
+INTERPRET = not bool(os.environ.get("HMRT_TEST_TPU"))
 pytestmark = pytest.mark.slow if INTERPRET else []
 
 from hmrt_tpu.api.scene import make_scene
@@ -30,7 +30,6 @@ from hmrt_tpu.io.heightmap import procedural_terrain
 from hmrt_tpu.kernels.compact import render_frame_compact
 from hmrt_tpu.types import Camera
 
-INTERPRET = not bool(os.environ.get("HMRT_TEST_TPU"))
 UNROLL = 1 if INTERPRET else 4
 
 

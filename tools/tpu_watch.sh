@@ -1,24 +1,27 @@
 #!/bin/bash
-# Tunnel-recovery watcher (VERDICT r3 next #1: "keep the recovery watcher
-# pattern from session 4 armed from day one").
+# Tunnel-recovery watcher: probe the TPU backend with a tiny matmul under
+# a hard deadline; on the first success run the GIVEN battery script and
+# then bench.py, logging everything; write marker files so the session
+# can see progress at a glance.
 #
-# Loop: probe the TPU backend with a tiny matmul under a hard deadline.
-# On the first success, immediately run the queued measurement battery
-# and then bench.py, logging everything; write marker files so the
-# session can see progress at a glance.
+# The battery script is a required argument since round 5: the retired
+# r3/r4b batteries used the pre-r4 13-field schedule grammar and would
+# misparse under the current 10-field one (ADVICE r4 #1) — a watcher must
+# only ever run a battery written for the CURRENT grammar.
 #
-# Usage: bash tools/tpu_watch.sh [battery_log]
+# Usage: bash tools/tpu_watch.sh <battery.sh> [battery_log]
 set -u
-BLOG=${1:-/tmp/r4_battery.log}
+BATTERY=${1:?usage: tpu_watch.sh <battery.sh> [battery_log]}
+BLOG=${2:-/tmp/battery.log}
 WLOG=/tmp/tpu_watch.log
 MARKER_UP=/tmp/tpu_up
-MARKER_DONE=/tmp/r4_battery_done
+MARKER_DONE=/tmp/battery_done
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 
 rm -f "$MARKER_UP" "$MARKER_DONE"
 : > "$WLOG"
-echo "watcher armed $(date)" >> "$WLOG"
+echo "watcher armed $(date) battery=$BATTERY" >> "$WLOG"
 
 probe() {
   timeout 150 python -c "
@@ -41,11 +44,11 @@ while true; do
 done
 
 echo "launching battery -> $BLOG" >> "$WLOG"
-bash tools/r3_battery.sh "$BLOG"
+bash "$BATTERY" "$BLOG"
 echo "battery rc=$? $(date)" >> "$WLOG"
 
 echo "running bench.py" >> "$WLOG"
-timeout 2700 python -u bench.py > /tmp/r4_bench_self.jsonl 2>> "$WLOG"
+timeout 3600 python -u bench.py > /tmp/bench_self.jsonl 2>> "$WLOG"
 echo "bench rc=$? $(date)" >> "$WLOG"
 date > "$MARKER_DONE"
 echo "WATCHER DONE $(date)" >> "$WLOG"
