@@ -89,6 +89,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                        subserve: bool = False,
                        band_serve: int = 0,
                        unroll: int = 1, relax: int = 0,
+                       banks: int = 1,
                        debug: bool = False, clip=None):
     (alive_o, t_o, lvl_o, icx_o, icy_o,
      hit_o, thit_o, hx_o, hy_o) = refs[:9]
@@ -97,11 +98,6 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
     intersector = INTERSECTORS[cell_intersect]
     world_max = float(n - 1)
     top = levels - 1
-
-    ox, oy, oz = ox_r[:], oy_r[:], oz_r[:]
-    dx, dy, dz = dx_r[:], dy_r[:], dz_r[:]
-    inv_x, inv_y = ray_inverses(dx, dy)
-    _, t1, _ = ray_box_range(ox, oy, dx, dy, world_max, clip)
 
     cbuf = coarse_ref[:]
     # global max = the pyramid top, which is the last valid coarse entry
@@ -114,37 +110,61 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         coff = ((1024 - (1024 >> (2 * q))) * 4) // 3
         return coff + cy * side + cx
 
-    # hit state rides THROUGH passes so resort rounds accumulate results
-    st = dict(
-        t=t_r[:], lvl=lvl_r[:], icx=icx_r[:], icy=icy_r[:],
-        alive=alive_r[:],
-        hit=hit_r[:], t_hit=thit_r[:], hx=hx_r[:], hy=hy_r[:],
-    )
-    if debug:
-        shp = st["t"].shape
-        # per-lane served-step count, level-0 step count, block iteration
-        # count, level-0 skip-advances and exact tests — perf diagnosis
-        # planes (lane efficiency = work / iters; skip:test ratio gates
-        # whether pair-skip style optimizations can pay)
-        st["work"] = jnp.zeros(shp, jnp.int32)
-        st["n0"] = jnp.zeros(shp, jnp.int32)
-        st["nit"] = jnp.zeros(shp, jnp.int32)
-        st["nskip"] = jnp.zeros(shp, jnp.int32)
-        st["ntest"] = jnp.zeros(shp, jnp.int32)
-        st["nal"] = jnp.zeros(shp, jnp.int32)   # alive-lane integral:
-        # work/nal = in-set serving efficiency; nal/(1024*nit) = block
-        # liveness — splits density loss into its two causes
-    if relax and l0_only:
-        # relaxed-tail mode planes (kernel-local: the whole relaxed phase
-        # runs inside the one unbudgeted tail pass, so they never cross a
-        # pass boundary; a budget exit would restart lanes in stride mode
-        # at their current t, which wavefront_step_l0_relaxed handles by
-        # integer progress — see its docstring)
-        st["rmode"] = jnp.zeros_like(st["icx"])
-        st["tprev"] = st["t"]
-        st["wend"] = jnp.full(st["t"].shape, BIG_T, jnp.float32)
+    # RAY BANKS: the kernel carries `banks` independent (8,128) wavefronts
+    # and advances ALL of them each loop sub-step, so their dependency
+    # chains interleave. One wavefront's step is a single long serial
+    # chain (gather -> compare -> select -> next index), which runs
+    # LATENCY-bound on the VPU (tools/micro_gather.py: ~490 ns/iter
+    # serial vs 65-90 ns throughput; tools/micro_vpu.py pins the ALU
+    # analog) — independent banks fill the idle issue slots. Results are
+    # bit-exact for any `banks`: each lane's march is deterministic and
+    # lane-independent; banking only changes which iteration serves it.
+    rayb = []
+    sts = []
+    for b in range(banks):
+        r0 = 8 * b
+        ox, oy, oz = (ox_r[r0:r0 + 8, :], oy_r[r0:r0 + 8, :],
+                      oz_r[r0:r0 + 8, :])
+        dx, dy, dz = (dx_r[r0:r0 + 8, :], dy_r[r0:r0 + 8, :],
+                      dz_r[r0:r0 + 8, :])
+        inv_x, inv_y = ray_inverses(dx, dy)
+        _, t1, _ = ray_box_range(ox, oy, dx, dy, world_max, clip)
+        rayb.append((ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1))
+        # hit state rides THROUGH passes so resort rounds accumulate
+        st = dict(
+            t=t_r[r0:r0 + 8, :], lvl=lvl_r[r0:r0 + 8, :],
+            icx=icx_r[r0:r0 + 8, :], icy=icy_r[r0:r0 + 8, :],
+            alive=alive_r[r0:r0 + 8, :],
+            hit=hit_r[r0:r0 + 8, :], t_hit=thit_r[r0:r0 + 8, :],
+            hx=hx_r[r0:r0 + 8, :], hy=hy_r[r0:r0 + 8, :],
+        )
+        if debug:
+            shp = st["t"].shape
+            # per-lane served-step count, level-0 step count, block
+            # iteration count, level-0 skip-advances and exact tests —
+            # perf diagnosis planes (lane efficiency = work / iters;
+            # skip:test ratio gates pair-skip style optimizations)
+            st["work"] = jnp.zeros(shp, jnp.int32)
+            st["n0"] = jnp.zeros(shp, jnp.int32)
+            st["nit"] = jnp.zeros(shp, jnp.int32)
+            st["nskip"] = jnp.zeros(shp, jnp.int32)
+            st["ntest"] = jnp.zeros(shp, jnp.int32)
+            st["nal"] = jnp.zeros(shp, jnp.int32)   # alive-lane integral:
+            # work/nal = in-set serving efficiency; nal/(1024*nit) =
+            # block liveness — splits density loss into its two causes
+        if relax and l0_only:
+            # relaxed-tail mode planes (kernel-local: the whole relaxed
+            # phase runs inside the one unbudgeted tail pass, so they
+            # never cross a pass boundary; a budget exit would restart
+            # lanes in stride mode at their current t, which
+            # wavefront_step_l0_relaxed handles by integer progress)
+            st["rmode"] = jnp.zeros_like(st["icx"])
+            st["tprev"] = st["t"]
+            st["wend"] = jnp.full(st["t"].shape, BIG_T, jnp.float32)
+        sts.append(st)
 
-    def l0_step(st, act, corners_fn):
+    def l0_step(st, act, corners_fn, b):
+        ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1 = rayb[b]
         if relax:
             return wavefront_step_l0_relaxed(
                 st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1, gmax,
@@ -156,11 +176,15 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
 
     # -------- phase A: coarse levels (VMEM), uncapped by the budget --------
     def a_cond(c):
-        i, st = c
-        return (i < coarse_cap) & jnp.any((st["alive"] != 0)
-                                          & (st["lvl"] >= l32))
+        i, sts = c
+        p = None
+        for st in sts:
+            pb = jnp.any((st["alive"] != 0) & (st["lvl"] >= l32))
+            p = pb if p is None else (p | pb)
+        return (i < coarse_cap) & p
 
-    def a_step(st):
+    def a_step(st, b):
+        ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1 = rayb[b]
         act = (st["alive"] != 0) & (st["lvl"] >= l32)
         if debug:
             # phase-A activity rides the same planes; one_step's level-0
@@ -177,13 +201,13 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                               m=m, asc_cap=3, lvl_ceiling=top)
 
     def a_body(c):
-        i, st = c
+        i, sts = c
         for _ in range(unroll):  # sync-amortizing unroll (see i_body)
-            st = a_step(st)
-        return i + unroll, st
+            sts = [a_step(sts[b], b) for b in range(banks)]
+        return i + unroll, sts
 
     if not l0_only:
-        _, st = jax.lax.while_loop(a_cond, a_body, (jnp.int32(0), st))
+        _, sts = jax.lax.while_loop(a_cond, a_body, (jnp.int32(0), sts))
 
     # -------- phase B: column demand loop with iteration budget --------
     n_recs = ((32 // band_serve) * m5 * m5 if band_serve
@@ -205,10 +229,11 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
     # subserve: the sublane index plane — each of the block's 8 sublane
     # rows is served by ITS OWN column record (see march_body
     # subserve_gathers for why this is nearly free on Mosaic)
-    subl = (jax.lax.broadcasted_iota(jnp.int32, ox.shape, 0)
+    subl = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
             if subserve else None)
-    # subserve: n_col = records (banks) per sublane; slot order in the
-    # scratch middle dim is [8*b + s for bank b, sublane s]
+    # subserve: n_col = records (serving banks) per sublane; slot order in
+    # the scratch middle dim is [8*v + s for serving bank v, sublane s],
+    # and ray bank b owns middle-dim slots [b*n_serve, (b+1)*n_serve)
     n_serve = 8 * n_col if subserve else n_col
 
     # NOTE a software-pipelined double-buffered variant (prefetch the
@@ -241,6 +266,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
         return sels
 
     def start_dmas(sels, base):
+        # base = this ray bank's absolute slot offset (b * n_serve)
         for c, sc in enumerate(sels):
             scc = jnp.minimum(sc, n_recs - 1)
             if band_serve:
@@ -255,42 +281,52 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                           band_serve)]
             else:
                 src = columns_hbm.at[scc]
-            dst = (col_scr.at[:, c, :] if subserve
+            dst = (col_scr.at[:, base + c, :] if subserve
                    else col_scr.at[base + c])
             pltpu.make_async_copy(src, dst, sems.at[base + c]).start()
 
-    def wait_dmas(base):
-        for c in range(n_serve):
+    def wait_dmas(total):
+        for c in range(total):
             src = (columns_hbm.at[0, pl.ds(0, band_serve)] if band_serve
                    else columns_hbm.at[0])
             dst = (col_scr.at[:, c, :] if subserve
-                   else col_scr.at[base + c])
-            pltpu.make_async_copy(src, dst, sems.at[base + c]).wait()
+                   else col_scr.at[c])
+            pltpu.make_async_copy(src, dst, sems.at[c]).wait()
 
     def b_cond(c):
-        nin, st = c[0], c[1]
-        return (nin < budget) & jnp.any(st["alive"] != 0)
+        nin, sts = c
+        p = None
+        for st in sts:
+            pb = jnp.any(st["alive"] != 0)
+            p = pb if p is None else (p | pb)
+        return (nin < budget) & p
 
-    def march_set(st, sels, base):
-        # subserve: `sels` is a (8,128) plane (sublane s's serving key
-        # broadcast over its lanes); otherwise the n_col scalar keys.
+    def march_set_all(sts, sels_list):
+        # sels_list[b]: ray bank b's serving keys — n_col (8,128) planes
+        # (sublane s's keys broadcast over its lanes) under subserve,
+        # otherwise the n_col scalar keys.
 
-        def in_set(st):
+        def in_set(st, sels):
             cols = key_of(st)
-            # subserve: sels is a list of n_col (8,128) bank planes
-            # (sublane s's serving keys broadcast over its lanes)
             ok = cols == sels[0]
             for sc in sels[1:]:
                 ok = ok | (cols == sc)
             return ok
 
         def i_cond(cc):
-            k, st = cc
-            act = (st["alive"] != 0) & in_set(st)
-            return (k < inner_cap) & jnp.any(act)
+            k, sts = cc
+            p = None
+            for b in range(banks):
+                pb = jnp.any((sts[b]["alive"] != 0)
+                             & in_set(sts[b], sels_list[b]))
+                p = pb if p is None else (p | pb)
+            return (k < inner_cap) & p
 
-        def one_step(st):
-            act = (st["alive"] != 0) & in_set(st)
+        def one_step(st, b):
+            sels = sels_list[b]
+            base = b * n_serve
+            ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1 = rayb[b]
+            act = (st["alive"] != 0) & in_set(st, sels)
             lvl, icx, icy = st["lvl"], st["icx"], st["icy"]
             if debug:
                 st = dict(st, work=st["work"] + act.astype(jnp.int32),
@@ -303,15 +339,17 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                 bank_masks = [None] + [cols_now == sv for sv in sels[1:]]
                 if band_serve:
                     corners_fn = band_gathers(col_scr, bank_masks, f0,
-                                              band_rows=band_serve)
-                    return l0_step(st, act, corners_fn)
+                                              band_rows=band_serve,
+                                              base=base)
+                    return l0_step(st, act, corners_fn, b)
                 fidx = (jnp.zeros_like(f0) if l0_only
                         else cascade_index(lvl, icx, icy, l32, offs))
                 cmax, corners_fn = subserve_gathers(col_scr, bank_masks,
                                                     lvl, fidx, f0,
-                                                    l32, CORNER_ROW)
+                                                    l32, CORNER_ROW,
+                                                    base=base)
                 if l0_only:
-                    st = l0_step(st, act, corners_fn)
+                    st = l0_step(st, act, corners_fn, b)
                 else:
                     st = wavefront_step(
                         st, act, ox, oy, oz, dx, dy, dz, inv_x, inv_y, t1,
@@ -333,7 +371,7 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
                         z = [jnp.where(mine, g[i], z[i]) for i in range(4)]
                     return tuple(z)
 
-                st = l0_step(st, act, corners_fn)
+                st = l0_step(st, act, corners_fn, b)
             else:
                 at0 = lvl == 0
                 fidx = cascade_index(lvl, icx, icy, l32, offs)
@@ -355,58 +393,64 @@ def _march_pass_kernel(coarse_ref, columns_hbm,
             # several masked steps per condition check amortizes the sync;
             # overshoot costs at most unroll-1 fully-masked steps per set
             # drain (act is recomputed every sub-step, so masking stays
-            # exact and results bit-identical).
-            k, st = cc
+            # exact and results bit-identical). With banks > 1 each
+            # sub-step advances every bank, interleaving their chains.
+            k, sts = cc
             for _ in range(unroll):
-                st = one_step(st)
-            return k + unroll, st
+                sts = [one_step(sts[b], b) for b in range(banks)]
+            return k + unroll, sts
 
-        k, st = jax.lax.while_loop(i_cond, i_body, (jnp.int32(0), st))
-        return k, st
+        k, sts = jax.lax.while_loop(i_cond, i_body, (jnp.int32(0), sts))
+        return k, sts
 
     def b_body(c):
-        nin, st = c
-        if subserve:
-            sels = select_sub(key_of(st))
-            start_dmas(sels, 0)
-            wait_dmas(0)
-            vecs = []
-            for b in range(n_col):
-                sv = jnp.full(ox.shape, BIG_KEY, jnp.int32)
-                for s in range(8):
-                    sv = jnp.where(subl == s, sels[8 * b + s], sv)
-                vecs.append(sv)
-            k, st = march_set(st, vecs, 0)
-        else:
-            sels = select_excl(key_of(st), [])
-            start_dmas(sels, 0)
-            wait_dmas(0)
-            k, st = march_set(st, sels, 0)
-        return nin + k, st
+        nin, sts = c
+        sels_list = []
+        for b in range(banks):
+            if subserve:
+                sels = select_sub(key_of(sts[b]))
+                start_dmas(sels, b * n_serve)
+                vecs = []
+                for v in range(n_col):
+                    sv = jnp.full((8, 128), BIG_KEY, jnp.int32)
+                    for s in range(8):
+                        sv = jnp.where(subl == s, sels[8 * v + s], sv)
+                    vecs.append(sv)
+                sels_list.append(vecs)
+            else:
+                sels = select_excl(key_of(sts[b]), [])
+                start_dmas(sels, b * n_serve)
+                sels_list.append(sels)
+        wait_dmas(banks * n_serve)
+        k, sts = march_set_all(sts, sels_list)
+        return nin + k, sts
 
-    out = jax.lax.while_loop(b_cond, b_body, (jnp.int32(0), st))
-    st = out[1]
+    out = jax.lax.while_loop(b_cond, b_body, (jnp.int32(0), sts))
+    sts = out[1]
 
-    alive_o[:] = st["alive"]
-    t_o[:] = st["t"]
-    lvl_o[:] = st["lvl"]
-    icx_o[:] = st["icx"]
-    icy_o[:] = st["icy"]
-    hit_o[:] = st["hit"]
-    thit_o[:] = st["t_hit"]
-    hx_o[:] = st["hx"]
-    hy_o[:] = st["hy"]
-    if debug:
-        dbg_refs[0][:] = st["work"]
-        dbg_refs[1][:] = st["n0"]
-        dbg_refs[2][:] = st["nit"]
-        dbg_refs[3][:] = st["nskip"]
-        dbg_refs[4][:] = st["ntest"]
-        dbg_refs[5][:] = st["nal"]
+    for b in range(banks):
+        r0 = 8 * b
+        st = sts[b]
+        alive_o[r0:r0 + 8, :] = st["alive"]
+        t_o[r0:r0 + 8, :] = st["t"]
+        lvl_o[r0:r0 + 8, :] = st["lvl"]
+        icx_o[r0:r0 + 8, :] = st["icx"]
+        icy_o[r0:r0 + 8, :] = st["icy"]
+        hit_o[r0:r0 + 8, :] = st["hit"]
+        thit_o[r0:r0 + 8, :] = st["t_hit"]
+        hx_o[r0:r0 + 8, :] = st["hx"]
+        hy_o[r0:r0 + 8, :] = st["hy"]
+        if debug:
+            dbg_refs[0][r0:r0 + 8, :] = st["work"]
+            dbg_refs[1][r0:r0 + 8, :] = st["n0"]
+            dbg_refs[2][r0:r0 + 8, :] = st["nit"]
+            dbg_refs[3][r0:r0 + 8, :] = st["nskip"]
+            dbg_refs[4][r0:r0 + 8, :] = st["ntest"]
+            dbg_refs[5][r0:r0 + 8, :] = st["nal"]
 
 
-def _plane_specs(k):
-    return [pl.BlockSpec((8, 128), lambda i: (i, 0),
+def _plane_specs(k, rows=8):
+    return [pl.BlockSpec((rows, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM) for _ in range(k)]
 
 
@@ -415,10 +459,12 @@ def _plane_specs(k):
                                     "cell_intersect", "budget", "n_col",
                                     "l0_only", "subserve",
                                     "band_serve", "unroll", "relax",
+                                    "banks", "coarse_cap",
                                     "interpret", "debug", "clip"))
 def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
                l32, cell_intersect, budget, n_col=2, l0_only=False,
-               subserve=False, band_serve=0, unroll=1, relax=0,
+               subserve=False, band_serve=0, unroll=1, relax=0, banks=1,
+               coarse_cap=None,
                interpret=False, debug=False, clip=None):
     """One budgeted march sweep over all ray blocks.
 
@@ -431,10 +477,17 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
              transposed, (rows, 8*n_col, 128), so a record's rows land
              in its sublane's slot of each row slice and one take-scan
              per bank serves 8 records (march_body.subserve_gathers).
-    band_serve (implies l0_only + subserve): serving keys are 32x4-cell
-             BANDS (column*8 + band) and each bank DMA is the band's
-             4 contiguous corner rows — the corner gather is one take
-             per channel (march_body.band_gathers).
+    band_serve (implies l0_only + subserve): serving keys are 32 x
+             band_serve-cell BANDS (column*(32//band_serve) + band) and
+             each bank DMA is the band's band_serve contiguous corner
+             rows — the corner gather is band_serve//4 chunked takes per
+             channel (march_body.band_gathers). band_serve=32 is the
+             whole-column key with a corner-rows-only (32-row) DMA.
+    banks:   independent (8,128) ray wavefronts carried per kernel
+             instance, all advanced each loop sub-step so their serial
+             dependency chains interleave on the VPU (see the kernel's
+             RAY BANKS note). Requires P % (1024*banks) == 0. Bit-exact
+             for any value.
     Returns (new_state, new_results).
     """
     assert not (band_serve and not (l0_only and subserve))
@@ -442,38 +495,51 @@ def march_pass(coarse, columns, rays, state, results, *, n, m, levels, m5,
     # (the l0 tail never reads the cascade rows of the 36-row record)
     assert band_serve in (0, 4, 8, 16, 32), band_serve
     assert not (relax and not l0_only), "relax is a level-0 tail mode"
+    # unroll advances the while_loop counters by `unroll` per body; 0
+    # would spin forever (ADVICE r4 #2 — stale sweep grammars hit this)
+    assert unroll >= 1, unroll
+    assert banks >= 1, banks
     P = rays[0].shape[0]
     R = P // 128
+    BR = 8 * banks
+    assert R % BR == 0, (P, banks)
     planes = [r.reshape(R, 128) for r in rays] \
         + [state[1].reshape(R, 128), state[2].reshape(R, 128),
            state[3].reshape(R, 128), state[4].reshape(R, 128),
            state[0].reshape(R, 128)] \
         + [r.reshape(R, 128) for r in results]
-    grid = (R // 8,)
+    grid = (R // BR,)
 
     kern = functools.partial(
         _march_pass_kernel, n=n, m=m, levels=levels, m5=m5, l32=l32,
         cell_intersect=cell_intersect,
-        coarse_cap=24 * levels + 96, budget=budget, inner_cap=256,
+        # coarse_cap=None -> uncapped (a bound the descent never hits);
+        # a small cap = SHALLOW pass-0 descent, the rest of phase A runs
+        # in the next round's kernel on sorted blocks (pass-0 fold
+        # experiment, VERDICT r4 next #5)
+        coarse_cap=(24 * levels + 96 if coarse_cap is None
+                    else int(coarse_cap)),
+        budget=budget, inner_cap=256,
         n_col=n_col, l0_only=l0_only,
         subserve=subserve, band_serve=band_serve,
-        unroll=unroll, relax=relax,
+        unroll=unroll, relax=relax, banks=banks,
         debug=debug, clip=clip)
 
     out_dt = ([jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
               + [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
               + ([jnp.int32] * 6 if debug else []))
     rec_rows = band_serve if band_serve else COL_ROWS
-    scr_shape = ((rec_rows, 8 * n_col, 128) if subserve
-                 else (n_col, rec_rows, 128))
-    n_sems = 8 * n_col if subserve else max(n_col, 2)
+    n_serve = 8 * n_col if subserve else n_col
+    scr_shape = ((rec_rows, n_serve * banks, 128) if subserve
+                 else (n_col * banks, rec_rows, 128))
+    n_sems = max(n_serve * banks, 2)
     outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=([pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pl.ANY)]
-                  + _plane_specs(15)),
-        out_specs=_plane_specs(len(out_dt)),
+                  + _plane_specs(15, rows=BR)),
+        out_specs=_plane_specs(len(out_dt), rows=BR),
         out_shape=[jax.ShapeDtypeStruct((R, 128), dt) for dt in out_dt],
         scratch_shapes=[
             pltpu.VMEM(scr_shape, jnp.float32),
@@ -691,7 +757,8 @@ def _unpack_rows(rows, dtypes):
                                     "band_tail",
                                     "unroll", "full_height",
                                     "prefixes", "shadow_prefixes",
-                                    "sort_dir", "relax"))
+                                    "sort_dir", "relax", "banks",
+                                    "coarse0"))
 def _render_compact_jit(camera, light, coarse, columns, shade_b,
                         albedo_b, gmax, *, config: RenderConfig, n, m,
                         levels, m5, l32, interpret, first_budget=96,
@@ -699,9 +766,10 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
                         subserve=False, band_tail=False,
                         unroll=1, row0=None, full_height=None,
                         prefixes=None, shadow_prefixes=None,
-                        sort_dir=0, relax=0):
+                        sort_dir=0, relax=0, banks=1, coarse0=None):
     H, W = config.height, config.width
-    P = -(-H * W // LANES) * LANES
+    LB = LANES * banks   # kernel block granularity (see march_pass banks)
+    P = -(-H * W // LB) * LB
 
     eye, dirs = camera.rays(H, W, row0=row0, full_height=full_height)
     d = dirs.reshape(-1, 3)
@@ -727,7 +795,8 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
            if isinstance(round_budget, int) else tuple(round_budget))
     mkw = dict(n=n, m=m, levels=levels, m5=m5, l32=l32,
                cell_intersect=config.cell_intersect,
-               unroll=unroll, interpret=interpret, clip=config.clip_box)
+               unroll=unroll, banks=banks, interpret=interpret,
+               clip=config.clip_box)
     state_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32, jnp.int32]
     res_dts = [jnp.int32, jnp.float32, jnp.int32, jnp.int32]
 
@@ -769,16 +838,24 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
         res = (jnp.zeros(P, jnp.int32), jnp.full(P, BIG_T, jnp.float32),
                jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32))
         # pass 0: screen/launch order, small budget (sky + near hits
-        # resolve; survivors carry their column position into the sort)
-        if not skip_pass0:
+        # resolve; survivors carry their column position into the sort).
+        # coarse0 (pass-0 fold experiment, VERDICT r4 next #5): a small
+        # int caps pass 0's coarse descent — a SHALLOW sweep whose
+        # positions still make decent round-0 sort keys (column_of
+        # quantizes by 2^lvl), the remaining descent running inside
+        # round 1's phase A on sorted blocks; 0 skips pass 0 entirely
+        # and round 0 sorts by the ray's LEVEL-0 ENTRY column instead
+        # (sorted_round below). Both are pure schedule policy — exact.
+        if not skip_pass0 and coarse0 != 0:
             state, res = march_pass(coarse, columns, rays, state, res,
                                     budget=first_budget, n_col=ncols[0],
-                                    subserve=subserve, **mkw)
+                                    subserve=subserve, coarse_cap=coarse0,
+                                    **mkw)
         perm_tot = perm0
         if prefixes_n is not None:
             assert len(prefixes_n) == n_rounds, (prefixes_n, n_rounds)
-            # multiples of the block size; round 0 is always full
-            prefs = [P] + [max(LANES, min(-(-p // LANES) * LANES, P))
+            # multiples of the kernel block size; round 0 is always full
+            prefs = [P] + [max(LB, min(-(-p // LB) * LB, P))
                            for p in prefixes_n[1:]]
         else:
             prefs = [P] * n_rounds
@@ -807,9 +884,21 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
                     state = _force_level0(rays, state, levels)
                 if not do_sort:
                     return march_round(rays, state, res, tail) + (None,)
-                key = (_band_key(state, m5, m, band_tail)
-                       if tail and band_tail
-                       else _column_key(state, m5))
+                if r == 0 and coarse0 == 0 and not skip_pass0:
+                    # pass 0 was skipped: lanes still sit at the pyramid
+                    # top, where _column_key quantizes every ray to one
+                    # key. Sort by the LEVEL-0 ENTRY column instead (the
+                    # cell where the ray crosses into the map — cheap
+                    # elementwise XLA); round 1's phase A then runs the
+                    # whole coarse descent on entry-coherent blocks.
+                    ex, ey = entry_cell(rays[0], rays[1], rays[3], rays[4],
+                                        state[1], jnp.int32(0), m)
+                    key = jnp.where(state[0] != 0,
+                                    (ey >> 5) * m5 + (ex >> 5), BIG_KEY)
+                else:
+                    key = (_band_key(state, m5, m, band_tail)
+                           if tail and band_tail
+                           else _column_key(state, m5))
                 if sort_dir:
                     # direction-aware grouping: rays of one column that
                     # march the same way exit to the same neighbor, so
@@ -1022,7 +1111,9 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          round_prefixes: tuple | str | None = "auto",
                          shadow_prefixes: tuple | str | None = "auto",
                          sort_dir: int = 0,
-                         relax: int = 0) -> Frame:
+                         relax: int = 0,
+                         banks: int = 1,
+                         coarse0: int | None = None) -> Frame:
     """Compacted-wavefront render (see module docstring).
 
     first_budget/rounds/round_budget/n_col: compaction schedule — the
@@ -1070,6 +1161,18 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     exact for any value; a perf knob for the measured served/alive
     density loss (BENCH_NOTES diag: 62% in the unbudgeted tail pass).
 
+    banks: independent (8,128) ray wavefronts interleaved per kernel
+    instance (march_pass banks) — the ILP lever against the measured
+    VPU latency trap (tools/micro_vpu.py / micro_gather.py). Bit-exact
+    for any value; a pure perf knob.
+
+    coarse0: pass-0 coarse-descent cap (None = full descent, the
+    default). A small int runs only a SHALLOW screen-order descent
+    before the first sort; 0 skips pass 0 entirely and sorts round 0
+    by the level-0 entry column (the pass-0 fold experiment, VERDICT
+    r4 next #5). Any value is exact — the guard/unbudgeted rounds
+    complete whatever pass 0 leaves.
+
     relax: RELAXED tail stride in cells (0 = exact, the default). When
     set, the final tail round samples the cell surface every `relax`
     cells and replays the exact DDA walk only inside detected brackets
@@ -1080,6 +1183,12 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     "auto" it applies only when the tail branch is selected). Fidelity
     deltas: tools/fidelity_relaxed.py.
     """
+    if relax and l0_tail is False:
+        # relax is a level-0 tail mode: without the tail it would
+        # silently no-op and return an exact render (ADVICE r4 #5)
+        raise ValueError("relax>0 requires the l0 tail (l0_tail=True, or "
+                         "'auto' to relax only when the tail branch is "
+                         "selected)")
     gmax = scene.pyr_flat[-1]
     if band_tail == "auto":
         # the serving-record-height optimum scales with the map: the
@@ -1089,7 +1198,8 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
         # column, so the bigger record wastes its extra rows
         band_tail = 16 if scene.m >= 2048 else 8
     band_tail = 4 if band_tail is True else int(band_tail)
-    P = -(-config.height * config.width // LANES) * LANES
+    LB = LANES * banks
+    P = -(-config.height * config.width // LB) * LB
     if round_prefixes == "auto":
         # shrink-with-survivors policy: full first sorted round, then
         # halving slices with a 1/4 tail (the guard round makes any
@@ -1119,4 +1229,5 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
         subserve=subserve, band_tail=band_tail,
         unroll=unroll, row0=row0, full_height=full_height,
         prefixes=round_prefixes, shadow_prefixes=shadow_prefixes,
-        sort_dir=sort_dir, relax=int(relax))
+        sort_dir=sort_dir, relax=int(relax), banks=banks,
+        coarse0=coarse0)

@@ -165,7 +165,7 @@ def fine_gathers(col_scr, sels, cols_now, act, at0, lvl, fidx, f0, l32,
 
 
 def subserve_gathers(col_scr, bank_masks, lvl, fidx, f0, l32, corner_row,
-                     casc_rows=3):
+                     casc_rows=3, base=0):
     """Per-SUBLANE record gathers: `col_scr` is a (rows, 8*nb, 128)
     scratch where sublane s of row slice [r, 8b:8b+8, :] holds the row r
     of the b-th record serving sublane s (the demand loop DMAs nb column
@@ -195,10 +195,12 @@ def subserve_gathers(col_scr, bank_masks, lvl, fidx, f0, l32, corner_row,
     nb = len(bank_masks)
 
     def multi_bank(r, idx_col):
-        g = jnp.take_along_axis(col_scr[r, 0:8, :], idx_col, axis=1)
+        g = jnp.take_along_axis(col_scr[r, base:base + 8, :],
+                                idx_col, axis=1)
         for b in range(1, nb):
-            gb = jnp.take_along_axis(col_scr[r, 8 * b:8 * b + 8, :],
-                                     idx_col, axis=1)
+            gb = jnp.take_along_axis(
+                col_scr[r, base + 8 * b:base + 8 * b + 8, :],
+                idx_col, axis=1)
             g = jnp.where(bank_masks[b], gb, g)
         return g
 
@@ -226,11 +228,13 @@ def subserve_gathers(col_scr, bank_masks, lvl, fidx, f0, l32, corner_row,
     return cmax, corners_fn
 
 
-def band_gathers(col_scr, bank_masks, f0, band_rows=4):
+def band_gathers(col_scr, bank_masks, f0, band_rows=4, base=0):
     """Per-sublane BAND record corner gathers for the level-0 tail.
 
     A band record is `band_rows` consecutive cell rows of one 32x32
-    column (band_rows in {4, 8, 16}); under the band-major corner layout
+    column (band_rows in {4, 8, 16, 32} — 32 being the whole column,
+    keyed per column, with a corner-rows-only DMA); under the band-major
+    corner layout
     (kernels/packing.py) its corner rows are CONTIGUOUS, so each bank DMA
     is one (band_rows, 128) copy. `col_scr` is a (band_rows, 8*nb, 128)
     scratch: row slice [4k+ch, 8b:8b+8, :] holds corner channel ch of
@@ -250,10 +254,11 @@ def band_gathers(col_scr, bank_masks, f0, band_rows=4):
     kin = (f0 >> 7) & (chunks - 1) if chunks > 1 else None
 
     def multi_bank(r):
-        g = jnp.take_along_axis(col_scr[r, 0:8, :], col, axis=1)
+        g = jnp.take_along_axis(col_scr[r, base:base + 8, :], col, axis=1)
         for b in range(1, nb):
-            gb = jnp.take_along_axis(col_scr[r, 8 * b:8 * b + 8, :],
-                                     col, axis=1)
+            gb = jnp.take_along_axis(
+                col_scr[r, base + 8 * b:base + 8 * b + 8, :],
+                col, axis=1)
             g = jnp.where(bank_masks[b], gb, g)
         return g
 

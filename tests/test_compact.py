@@ -271,6 +271,28 @@ def test_compact_sort_dir(scene128c):
                       - np.asarray(fo.color)).max() < 5e-5
 
 
+def test_compact_banks_parity(scene128c):
+    """banks>1 carries several independent (8,128) wavefronts per kernel
+    instance so their dependency chains interleave on the VPU (the ILP
+    lever against the measured latency trap). Each lane's march is
+    deterministic and lane-independent, so the image must be
+    BIT-identical to banks=1 — on the production subserve/band/prefix
+    path and with shadows."""
+    scene, terr = scene128c
+    cam = _cam(terr)
+    cfg = RenderConfig(width=128, height=32, shading="phong", shadows=True)
+    f1 = render_frame_compact(scene, scene.packed, cam, cfg,
+                              interpret=INTERPRET, unroll=UNROLL, banks=1)
+    for banks in (2, 4):
+        fb = render_frame_compact(scene, scene.packed, cam, cfg,
+                                  interpret=INTERPRET, unroll=UNROLL,
+                                  banks=banks)
+        np.testing.assert_array_equal(np.asarray(f1.hit),
+                                      np.asarray(fb.hit))
+        np.testing.assert_array_equal(np.asarray(f1.color),
+                                      np.asarray(fb.color))
+
+
 def test_compact_unroll_parity(scene128c):
     """unroll>1 amortizes the while-loop sync by running several masked
     steps per condition check; act is recomputed each sub-step so the
