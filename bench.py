@@ -54,7 +54,12 @@ PROBE_SRC = ("import jax, jax.numpy as jnp; "
 # long serial bench session, so the cheap config goes early, not last.
 _PLAN = [("B3", 4, 2, 1200, True), ("B1", 2, 1, 480, False),
          ("B2", 3, 2, 420, False),
-         ("B4", 3, 1, 700, False), ("B5", 2, 1, 420, False)]
+         # B4/B5 deadlines cover the round-5 enrichment rows (B4 adds a
+         # 1920x1080 measurement; B5 adds a timed 1-device-mesh sharded
+         # run + an H/8 band row — VERDICT r4 next #4/#7); each extra is
+         # persisted incrementally, so a deadline kill keeps everything
+         # measured so far
+         ("B4", 3, 1, 900, False), ("B5", 2, 1, 800, False)]
 
 
 def _env():

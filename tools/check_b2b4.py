@@ -1,14 +1,21 @@
 #!/usr/bin/env python
-"""Spot-check B2/B4-style frames under compact-schedule variants.
+"""Spot-check B2/B4 frames under compact-schedule variants.
 
 The B3-tuned schedule (l0_tail + subserve) must not regress the
 pyramid-friendly orbit views: l0_tail forces every surviving ray to
 level 0 for the final round, which measured 706 -> 1564 ms on B4 under
-block-global serving (BENCH_NOTES round-2).  This re-measures under
+block-global serving (BENCH_NOTES round-2). This re-measures under
 subserve so the production defaults can be chosen on data.
 
+CAMERAS = the driver protocol's (VERDICT r4 weak #3 — one camera per
+config, everywhere): B2 uses bench_scene's static camera, B4 the first
+orbit_flythrough frames, exactly what hmrt_tpu.bench.runner times. Rows
+printed here are directly comparable to BENCH_ALL.json (same workload,
+minus the runner's scan amortization — expect a few ms of per-dispatch
+overhead on top).
+
 Usage: python tools/check_b2b4.py [--which b2 b4]
-Each row: map size, schedule knobs, median ms over reps.
+Each row: config, schedule knobs, median per-frame ms over reps.
 """
 import argparse
 import dataclasses
@@ -21,11 +28,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", nargs="*", default=["b2", "b4"])
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--frames", type=int, default=3,
+                    help="orbit frames per rep for animated configs "
+                         "(the driver plan times 3)")
     args = ap.parse_args()
 
-    from hmrt_tpu.api.scene import make_scene
-    from hmrt_tpu.bench.configs import BENCH_CONFIGS
-    from hmrt_tpu.io.heightmap import procedural_terrain
+    from hmrt_tpu.api.flythrough import frame_camera, orbit_flythrough
+    from hmrt_tpu.bench.configs import BENCH_CONFIGS, bench_scene
     from hmrt_tpu.kernels.compact import render_frame_compact
     from hmrt_tpu.types import Camera
 
@@ -42,9 +51,8 @@ def main():
 
     for which in args.which:
         bc = BENCH_CONFIGS[which.upper()]
+        scene, cam0, terr = bench_scene(bc)
         n = bc.map_n
-        terr = procedural_terrain(n, seed=3)
-        scene = make_scene(terr)
         zmax = float(terr.max())
         P = -(-bc.render.height * bc.render.width // 1024) * 1024
         variants_w = variants + [
@@ -52,19 +60,22 @@ def main():
                                                    P // 4)}),
             ("sort_dir=1", {"sort_dir": 1}),
         ]
-        # orbit-style camera (B4's flythrough regime: oblique, pyramid-
-        # friendly) at the config's resolution
         cfg = dataclasses.replace(bc.render, backend="compact")
-        cam0 = Camera.create(eye=(n * 0.8, n * 0.2, zmax * 1.6),
-                             target=(n * 0.5, n * 0.5, float(terr.mean())),
-                             fov_y_deg=45.0)
+        if bc.animated:
+            cams = orbit_flythrough(n, zmax, args.frames)
+            frames = [frame_camera(cams, i) for i in range(args.frames)]
+        else:
+            frames = [cam0]
         for label, kw in variants_w:
             def run(salt):
-                cam = Camera(eye=cam0.eye + salt, target=cam0.target,
-                             up=cam0.up, fov_y=cam0.fov_y)
-                fr = render_frame_compact(scene, scene.packed, cam, cfg,
-                                          **kw)
-                return float(jnp.sum(fr.color[::16, ::16]))
+                acc = 0.0
+                for cf in frames:
+                    cam = Camera(eye=cf.eye + salt, target=cf.target,
+                                 up=cf.up, fov_y=cf.fov_y)
+                    fr = render_frame_compact(scene, scene.packed, cam,
+                                              cfg, **kw)
+                    acc += float(jnp.sum(fr.color[::16, ::16]))
+                return acc
             try:
                 run(jnp.zeros(3, jnp.float32))
                 times = []
@@ -72,10 +83,12 @@ def main():
                     salt = jnp.asarray([rep * 1e-4] * 3, jnp.float32)
                     t0 = time.perf_counter()
                     run(salt)
-                    times.append((time.perf_counter() - t0) * 1e3)
+                    times.append((time.perf_counter() - t0) * 1e3
+                                 / len(frames))
                 times.sort()
-                print(f"{which} {label}: {times[len(times)//2]:.0f} ms "
-                      f"(all {[f'{t:.0f}' for t in times]})", flush=True)
+                print(f"{which} {label}: {times[len(times)//2]:.0f} "
+                      f"ms/frame (all {[f'{t:.0f}' for t in times]})",
+                      flush=True)
             except Exception as e:
                 print(f"{which} {label}: FAILED {type(e).__name__}: {e}",
                       flush=True)
