@@ -44,13 +44,15 @@ def main():
 
     def run(sched, salt, prefixes=None, spref=None):
         # grammar (r4, post-prune): fb,r,rb,nc,l0,unroll,sub,band,sdir,relax
-        # [,banks].  Reject anything longer: the retired pre-r4 batteries
-        # used a 13-field grammar whose strings misparse here (e.g.
-        # unroll=0 => infinite while_loop) — ADVICE r4 #1.
-        if len(sched) > 11:
+        # [,banks[,coarse0]].  coarse0: -1 = None (full pass-0 descent),
+        # 0 = skip pass 0 (entry-column round-0 sort), k>0 = shallow cap.
+        # Reject anything longer: the retired pre-r4 batteries used a
+        # 13-field grammar whose strings misparse here (e.g. unroll=0 =>
+        # infinite while_loop) — ADVICE r4 #1.
+        if len(sched) > 12:
             raise ValueError(f"schedule has {len(sched)} fields; the "
                              "current grammar is fb,r,rb,nc,l0,unroll,"
-                             "sub,band,sdir,relax[,banks]")
+                             "sub,band,sdir,relax[,banks[,coarse0]]")
         fb, r, rb, nc = sched[:4]
         # 0=off, 1=on, 2=adaptive ("auto")
         l0 = ([False, True, "auto"][int(sched[4])]
@@ -61,6 +63,8 @@ def main():
         sdir = int(sched[8]) if len(sched) > 8 else 0
         relax = int(sched[9]) if len(sched) > 9 else 0
         banks = int(sched[10]) if len(sched) > 10 else 1
+        c0 = int(sched[11]) if len(sched) > 11 else -1
+        coarse0 = None if c0 < 0 else c0
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
         if isinstance(nc, tuple) and len(nc) == 1:
@@ -73,7 +77,8 @@ def main():
                                   round_prefixes=prefixes,
                                   shadow_prefixes=spref,
                                   sort_dir=sdir,
-                                  relax=relax, banks=banks)
+                                  relax=relax, banks=banks,
+                                  coarse0=coarse0)
         return float(jnp.sum(fr.color[::16, ::16]))
 
     P = -(-w * h // 1024) * 1024
