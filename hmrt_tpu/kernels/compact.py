@@ -758,7 +758,7 @@ def _unpack_rows(rows, dtypes):
                                     "unroll", "full_height",
                                     "prefixes", "shadow_prefixes",
                                     "sort_dir", "relax", "banks",
-                                    "coarse0"))
+                                    "coarse0", "sort_mode"))
 def _render_compact_jit(camera, light, coarse, columns, shade_b,
                         albedo_b, gmax, *, config: RenderConfig, n, m,
                         levels, m5, l32, interpret, first_budget=96,
@@ -766,7 +766,8 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
                         subserve=False, band_tail=False,
                         unroll=1, row0=None, full_height=None,
                         prefixes=None, shadow_prefixes=None,
-                        sort_dir=0, relax=0, banks=1, coarse0=None):
+                        sort_dir=0, relax=0, banks=1, coarse0=None,
+                        sort_mode=0):
     H, W = config.height, config.width
     LB = LANES * banks   # kernel block granularity (see march_pass banks)
     P = -(-H * W // LB) * LB
@@ -914,18 +915,33 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
                     ref = (key * 8 + oc if sort_dir == 1
                            else oc * (BIG_KEY >> 3) + key)
                     key = jnp.where(key != BIG_KEY, ref, BIG_KEY)
-                perm = jnp.argsort(key)
                 # broadcast ray planes are permutation-invariant and stay
                 # out of the sorted row matrix: primary rays share one
                 # origin (eye), shadow rays one direction (sun) — 12
                 # gathered planes instead of 15 per resort round
                 mov = tuple(rays[i] for i in sort_ray_planes)
-                rows = _pack_rows(*mov, *state, *res)
-                rows_s = jnp.take(rows, perm, axis=0)
-                cols = _unpack_rows(rows_s,
-                                    [jnp.float32] * len(mov) + state_dts
-                                    + res_dts)
                 nr = len(mov)
+                if sort_mode == 1:
+                    # PAYLOAD SORT (VERDICT r4 next #2, micro_sort row
+                    # `sort_payload`): one lax.sort carries the 12 state/
+                    # result planes through the sort network alongside an
+                    # iota perm plane — replaces argsort + f32 row-matrix
+                    # pack + (P,12) row-gather + unpack, and i32 planes
+                    # ride natively (no value converts at all). The
+                    # permutation is identical policy (any order of equal
+                    # keys is exact); perm still feeds perm_tot inversion.
+                    iota = jnp.arange(key.shape[0], dtype=jnp.int32)
+                    out = jax.lax.sort((key, iota) + mov + state + res,
+                                       num_keys=1, is_stable=False)
+                    perm = out[1]
+                    cols = list(out[2:])
+                else:
+                    perm = jnp.argsort(key)
+                    rows = _pack_rows(*mov, *state, *res)
+                    rows_s = jnp.take(rows, perm, axis=0)
+                    cols = _unpack_rows(rows_s,
+                                        [jnp.float32] * len(mov) + state_dts
+                                        + res_dts)
                 it = iter(cols[:nr])
                 rays = tuple(next(it) if i in sort_ray_planes else rays[i]
                              for i in range(6))
@@ -1019,14 +1035,21 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
     fx = jnp.clip(px - hx.astype(jnp.float32), 0.0, 1.0)
     fy = jnp.clip(py - hy.astype(jnp.float32), 0.0, 1.0)
     key_h = jnp.where(hit, (hy >> 5) * m5 + (hx >> 5), BIG_KEY)
-    perm_h = jnp.argsort(key_h)
+    if sort_mode == 1:
+        out = jax.lax.sort((key_h, jnp.arange(P, dtype=jnp.int32),
+                            hit.astype(jnp.int32), hx, hy, fx, fy),
+                           num_keys=1, is_stable=False)
+        perm_h = out[1]
+        hcols = list(out[2:])
+    else:
+        perm_h = jnp.argsort(key_h)
+        hrows = _pack_rows(hit.astype(jnp.int32), hx, hy, fx, fy)
+        hrows_s = jnp.take(hrows, perm_h, axis=0)
+        hcols = _unpack_rows(hrows_s, [jnp.int32] * 3 + [jnp.float32] * 2)
     # invert by scatter (an argsort of perm_h costs a full second sort;
     # the scatter is one cheap row write)
     inv_h = jnp.zeros(P, jnp.int32).at[perm_h].set(
         jnp.arange(P, dtype=jnp.int32))
-    hrows = _pack_rows(hit.astype(jnp.int32), hx, hy, fx, fy)
-    hrows_s = jnp.take(hrows, perm_h, axis=0)
-    hcols = _unpack_rows(hrows_s, [jnp.int32] * 3 + [jnp.float32] * 2)
     shaded = shade_pass(shade_b, albedo_b, *hcols, m5=m5,
                         textured=bool(config.texture and albedo_b is not None),
                         interpret=interpret)
@@ -1113,7 +1136,8 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          sort_dir: int = 0,
                          relax: int = 0,
                          banks: int = 1,
-                         coarse0: int | None = None) -> Frame:
+                         coarse0: int | None = None,
+                         sort_mode: int = 0) -> Frame:
     """Compacted-wavefront render (see module docstring).
 
     first_budget/rounds/round_budget/n_col: compaction schedule — the
@@ -1173,6 +1197,14 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     r4 next #5). Any value is exact — the guard/unbudgeted rounds
     complete whatever pass 0 leaves.
 
+    sort_mode: how each resort permutes the lanes. 0 (default) =
+    jnp.argsort + f32 row-matrix pack + (P,12) row-gather; 1 = one
+    lax.sort(num_keys=1) carrying iota + the 12 state/result planes as
+    payload operands (i32 planes ride natively — no value converts, no
+    row gather; the micro_sort `sort_payload` row). The permutation
+    differs only in equal-key order, which is pure serving policy —
+    both modes are exact.
+
     relax: RELAXED tail stride in cells (0 = exact, the default). When
     set, the final tail round samples the cell surface every `relax`
     cells and replays the exact DDA walk only inside detected brackets
@@ -1230,4 +1262,4 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
         unroll=unroll, row0=row0, full_height=full_height,
         prefixes=round_prefixes, shadow_prefixes=shadow_prefixes,
         sort_dir=sort_dir, relax=int(relax), banks=banks,
-        coarse0=coarse0)
+        coarse0=coarse0, sort_mode=sort_mode)

@@ -308,3 +308,29 @@ def test_compact_unroll_parity(scene128c):
     np.testing.assert_array_equal(np.asarray(f1.hit), np.asarray(f4.hit))
     np.testing.assert_array_equal(np.asarray(f1.color),
                                   np.asarray(f4.color))
+
+
+def test_compact_sort_mode_payload(scene128c):
+    """sort_mode=1 replaces argsort + f32 row-matrix gather with one
+    lax.sort carrying iota + the state/result planes as payload. The
+    permutation may differ from argsort's in equal-key order — pure
+    serving policy — so colors/hits must match the oracle exactly, on
+    the plain path and on the production prefix/band/sort_dir path."""
+    scene, terr = scene128c
+    cam = _cam(terr)
+    cases = [
+        (RenderConfig(width=128, height=32, shading="phong", shadows=True),
+         dict()),
+        (RenderConfig(width=128, height=32, shadows=True),
+         dict(band_tail=8, l0_tail="auto", sort_dir=1,
+              round_prefixes=(0, 2048, 1024), shadow_prefixes=(0, 1024))),
+    ]
+    for cfg, kw in cases:
+        fo = render_frame_oracle(scene, cam, cfg)
+        fc = render_frame_compact(scene, scene.packed, cam, cfg,
+                                  interpret=INTERPRET, unroll=UNROLL,
+                                  sort_mode=1, **kw)
+        np.testing.assert_array_equal(np.asarray(fc.hit),
+                                      np.asarray(fo.hit))
+        assert np.abs(np.asarray(fc.color)
+                      - np.asarray(fo.color)).max() < 5e-5

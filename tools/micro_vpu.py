@@ -159,7 +159,16 @@ def main():
     ap.add_argument("--mixes", default="fma,intops,select")
     ap.add_argument("--chains", default="1,2,4,8,16")
     ap.add_argument("--skip-gather", action="store_true")
+    ap.add_argument("--n1", type=int, default=None,
+                    help="low-point body iterations (ALU rows need ~20x "
+                         "the default for the slope to clear tunnel noise)")
+    ap.add_argument("--n2", type=int, default=None)
     args = ap.parse_args()
+    global N1, N2
+    if args.n1:
+        N1 = args.n1
+    if args.n2:
+        N2 = args.n2
     chains_list = [int(c) for c in args.chains.split(",")]
 
     print(f"slope timing N1={N1} N2={N2} UNROLL={UNROLL}; 1 vec-op = one "

@@ -43,16 +43,17 @@ def main():
                          fov_y_deg=55.0)
 
     def run(sched, salt, prefixes=None, spref=None):
-        # grammar (r4, post-prune): fb,r,rb,nc,l0,unroll,sub,band,sdir,relax
-        # [,banks[,coarse0]].  coarse0: -1 = None (full pass-0 descent),
-        # 0 = skip pass 0 (entry-column round-0 sort), k>0 = shallow cap.
+        # grammar (r5): fb,r,rb,nc,l0,unroll,sub,band,sdir,relax
+        # [,banks[,coarse0[,sortm]]].  coarse0: -1 = None (full pass-0
+        # descent), 0 = skip pass 0 (entry-column round-0 sort), k>0 =
+        # shallow cap.  sortm: 0 = argsort+row-gather, 1 = payload sort.
         # Reject anything longer: the retired pre-r4 batteries used a
         # 13-field grammar whose strings misparse here (e.g. unroll=0 =>
         # infinite while_loop) — ADVICE r4 #1.
-        if len(sched) > 12:
+        if len(sched) > 13:
             raise ValueError(f"schedule has {len(sched)} fields; the "
                              "current grammar is fb,r,rb,nc,l0,unroll,"
-                             "sub,band,sdir,relax[,banks[,coarse0]]")
+                             "sub,band,sdir,relax[,banks[,coarse0[,sortm]]]")
         fb, r, rb, nc = sched[:4]
         # 0=off, 1=on, 2=adaptive ("auto")
         l0 = ([False, True, "auto"][int(sched[4])]
@@ -65,6 +66,7 @@ def main():
         banks = int(sched[10]) if len(sched) > 10 else 1
         c0 = int(sched[11]) if len(sched) > 11 else -1
         coarse0 = None if c0 < 0 else c0
+        sortm = int(sched[12]) if len(sched) > 12 else 0
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
         if isinstance(nc, tuple) and len(nc) == 1:
@@ -78,7 +80,7 @@ def main():
                                   shadow_prefixes=spref,
                                   sort_dir=sdir,
                                   relax=relax, banks=banks,
-                                  coarse0=coarse0)
+                                  coarse0=coarse0, sort_mode=sortm)
         return float(jnp.sum(fr.color[::16, ::16]))
 
     P = -(-w * h // 1024) * 1024
