@@ -1135,7 +1135,7 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          shadow_prefixes: tuple | str | None = "auto",
                          sort_dir: int = 0,
                          relax: int = 0,
-                         banks: int = 1,
+                         banks: int | None = None,
                          coarse0: int | None = None,
                          sort_mode: int = 0) -> Frame:
     """Compacted-wavefront render (see module docstring).
@@ -1187,8 +1187,14 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
 
     banks: independent (8,128) ray wavefronts interleaved per kernel
     instance (march_pass banks) — the ILP lever against the measured
-    VPU latency trap (tools/micro_vpu.py / micro_gather.py). Bit-exact
-    for any value; a pure perf knob.
+    VPU latency trap: one dependency chain sees only ~0.3-1.4G
+    (8,128)-ops/s of the chip's measured 3.1-6.6G issue ceiling, and
+    independent gather chains overlap completely (tools/micro_vpu.py,
+    BENCH_NOTES round-5). Bit-exact for any value; a pure perf knob.
+    None (default) = 2 when compiled for TPU (measured B3 optimum:
+    1475 -> 1105 ms; saturates at 2 — banks=4 is 1113), 1 under the
+    interpreter (banks multiply interpreter wall time, and the ILP
+    they buy only exists on hardware).
 
     coarse0: pass-0 coarse-descent cap (None = full descent, the
     default). A small int runs only a SHALLOW screen-order descent
@@ -1230,6 +1236,12 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
         # column, so the bigger record wastes its extra rows
         band_tail = 16 if scene.m >= 2048 else 8
     band_tail = 4 if band_tail is True else int(band_tail)
+    if banks is None:
+        # measured default (r5 battery): 2 independent wavefronts fill
+        # the VPU issue slots one chain leaves idle; interpreter runs
+        # pay the 2x wall time without the hardware ILP, so CI stays
+        # at 1
+        banks = 1 if interpret else 2
     LB = LANES * banks
     P = -(-config.height * config.width // LB) * LB
     if round_prefixes == "auto":

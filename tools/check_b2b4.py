@@ -42,6 +42,8 @@ def main():
         # label, kwargs (production defaults = whatever compact.py ships;
         # since the r4 battery that means auto prefixes + shadow prefixes)
         ("defaults", {}),
+        ("banks=1", {"banks": 1}),
+        ("banks=2", {"banks": 2}),
         ("r3-defaults(no-prefix)", {"round_prefixes": None,
                                     "shadow_prefixes": None, "rounds": 2}),
         ("l0_tail=False", {"l0_tail": False}),
