@@ -921,7 +921,7 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
                 # gathered planes instead of 15 per resort round
                 mov = tuple(rays[i] for i in sort_ray_planes)
                 nr = len(mov)
-                if sort_mode == 1:
+                if sort_mode in (1, 2):
                     # PAYLOAD SORT (VERDICT r4 next #2, micro_sort row
                     # `sort_payload`): one lax.sort carries the 12 state/
                     # result planes through the sort network alongside an
@@ -1035,7 +1035,7 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
     fx = jnp.clip(px - hx.astype(jnp.float32), 0.0, 1.0)
     fy = jnp.clip(py - hy.astype(jnp.float32), 0.0, 1.0)
     key_h = jnp.where(hit, (hy >> 5) * m5 + (hx >> 5), BIG_KEY)
-    if sort_mode == 1:
+    if sort_mode in (1, 3):
         out = jax.lax.sort((key_h, jnp.arange(P, dtype=jnp.int32),
                             hit.astype(jnp.int32), hx, hy, fx, fy),
                            num_keys=1, is_stable=False)
@@ -1191,9 +1191,9 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     (8,128)-ops/s of the chip's measured 3.1-6.6G issue ceiling, and
     independent gather chains overlap completely (tools/micro_vpu.py,
     BENCH_NOTES round-5). Bit-exact for any value; a pure perf knob.
-    None (default) = 2 when compiled for TPU (measured B3 optimum:
-    1475 -> 1105 ms; saturates at 2 — banks=4 is 1113), 1 under the
-    interpreter (banks multiply interpreter wall time, and the ILP
+    None (default) = 3 when compiled for TPU (measured B3 curve,
+    paired runs: banks=1 1475 / 2 1088 / 3 1060 / 4 1113 ms), 1 under
+    the interpreter (banks multiply interpreter wall time, and the ILP
     they buy only exists on hardware).
 
     coarse0: pass-0 coarse-descent cap (None = full descent, the
@@ -1207,9 +1207,13 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     jnp.argsort + f32 row-matrix pack + (P,12) row-gather; 1 = one
     lax.sort(num_keys=1) carrying iota + the 12 state/result planes as
     payload operands (i32 planes ride natively — no value converts, no
-    row gather; the micro_sort `sort_payload` row). The permutation
-    differs only in equal-key order, which is pure serving policy —
-    both modes are exact.
+    row gather; the micro_sort `sort_payload` row); 2 = payload sort
+    for march resort rounds only; 3 = payload sort for the shade sort
+    only (2/3 bisect where mode 1's measured in-context loss lives —
+    isolated payload sort WINS by 90 ms/full-P round on micro_sort yet
+    mode 1 lost 150 ms/frame on the r5 sweep). The permutation differs
+    only in equal-key order, which is pure serving policy — all modes
+    are exact.
 
     relax: RELAXED tail stride in cells (0 = exact, the default). When
     set, the final tail round samples the cell surface every `relax`
@@ -1237,11 +1241,12 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
         band_tail = 16 if scene.m >= 2048 else 8
     band_tail = 4 if band_tail is True else int(band_tail)
     if banks is None:
-        # measured default (r5 battery): 2 independent wavefronts fill
-        # the VPU issue slots one chain leaves idle; interpreter runs
-        # pay the 2x wall time without the hardware ILP, so CI stays
-        # at 1
-        banks = 1 if interpret else 2
+        # measured default (r5/r5c batteries): 3 independent wavefronts
+        # fill the VPU issue slots one chain leaves idle (B3 paired run:
+        # banks=1 1475 / 2 1088 / 3 1060 / 4 1113 ms — VMEM/register
+        # pressure wins past 3); interpreter runs pay the Nx wall time
+        # without the hardware ILP, so CI stays at 1
+        banks = 1 if interpret else 3
     LB = LANES * banks
     P = -(-config.height * config.width // LB) * LB
     if round_prefixes == "auto":
