@@ -803,7 +803,7 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
 
     def full_march(rays, state, skip_pass0=False, rounds_n=None,
                    prefixes_n=None, sort_ray_planes=(0, 1, 2, 3, 4, 5),
-                   perm0=None):
+                   perm0=None, return_sorted=False):
         """Budgeted march passes with PERIODIC COMPACTION (BASELINE.json:5):
         before every round survivors are argsort'ed by their current
         terrain column — state+results ride in a (P, 15) f32 row matrix so
@@ -935,6 +935,47 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
                                        num_keys=1, is_stable=False)
                     perm = out[1]
                     cols = list(out[2:])
+                elif sort_mode == 4:
+                    # SLIM FUSED row gather (round 5, second half): the
+                    # TPU gather pays a large per-invocation cost and a
+                    # small per-column cost (micro_sort: plane_gather ~
+                    # half of row_gather(P,12)), so (a) planes whose
+                    # values are live in DISJOINT lane states share one
+                    # column — hx/hy == icx/icy at hit by construction
+                    # (march_body writes hx from the current cell and
+                    # dead lanes never advance), t_hit overwrites the
+                    # dead march t, and alive/lvl/hit are 7 bits — and
+                    # (b) the perm_tot composition rides as a pid column
+                    # instead of paying its own full jnp.take per round.
+                    # 13 gathered planes (12 + separate pid) become 8.
+                    # Every merged value is exact: the shadowed slots are
+                    # either masked (dead-lane state never affects
+                    # results — serving keys are alive-masked) or
+                    # restored bit-identically by the unpack selects.
+                    perm = jnp.argsort(key)
+                    pid = (perm_tot[:sz] if perm_tot is not None
+                           else jnp.arange(key.shape[0], dtype=jnp.int32))
+                    hitb = res[0] != 0
+                    c1 = state[0] + (state[2] << 1) + (res[0] << 6)
+                    tm = jnp.where(hitb, res[1], state[1])
+                    cx = jnp.where(hitb, res[2], state[3])
+                    cy = jnp.where(hitb, res[3], state[4])
+                    rows = _pack_rows(pid, *mov, c1, tm, cx, cy)
+                    rows_s = jnp.take(rows, perm, axis=0)
+                    cols = _unpack_rows(
+                        rows_s, [jnp.int32] + [jnp.float32] * nr
+                        + [jnp.int32, jnp.float32, jnp.int32, jnp.int32])
+                    perm = cols[0]  # the composed pid, not the raw perm
+                    c1s, tms, cxs, cys = cols[nr + 1:]
+                    alv = c1s & 1
+                    lvs = (c1s >> 1) & 31
+                    hts = c1s >> 6
+                    hb = hts != 0
+                    cols = (cols[1:nr + 1]
+                            + [alv, tms, lvs, cxs, cys]
+                            + [hts, jnp.where(hb, tms, BIG_T),
+                               jnp.where(hb, cxs, 0),
+                               jnp.where(hb, cys, 0)])
                 else:
                     perm = jnp.argsort(key)
                     rows = _pack_rows(*mov, *state, *res)
@@ -997,6 +1038,17 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
             else:
                 rays, state, res = rays_r, state_r, res_r
             if perm is not None:
+                if sort_mode == 4:
+                    # mode 4: `perm` is the already-composed pid column
+                    # out of the fused row gather — assign, don't compose
+                    if perm_tot is None and sz < P:
+                        perm_tot = jnp.arange(
+                            P, dtype=jnp.int32).at[:sz].set(perm)
+                    elif sz < P:
+                        perm_tot = perm_tot.at[:sz].set(perm)
+                    else:
+                        perm_tot = perm
+                    continue
                 if perm_tot is None:
                     perm_tot = (jnp.arange(P, dtype=jnp.int32) if sz < P
                                 else None)
@@ -1014,6 +1066,12 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
             state, res = march_pass(coarse, columns, rays, state, res,
                                     budget=(1 << 22), n_col=ncols[-1],
                                     subserve=subserve, **mkw)
+        if return_sorted:
+            # round-final order, plus the composed permutation mapping
+            # each final position to its launch pid (None = never
+            # sorted, i.e. still launch order) — the caller folds the
+            # inversion into its own downstream gather/scatter
+            return res, rays, perm_tot
         # back to launch order (invert the composed permutation)
         if perm_tot is not None:
             inv = jnp.zeros(P, jnp.int32).at[perm_tot].set(
@@ -1022,39 +1080,91 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
             res = _unpack_rows(res_rows, res_dts)
         return res[0] != 0, res[1], res[2], res[3]
 
-    hit, t_hit, hx, hy = full_march(rays, _init_state(
-        ox, oy, oz, dx, dy, dz, valid0, gmax, n=n, levels=levels,
-        clip=config.clip_box), prefixes_n=prefixes,
-        sort_ray_planes=(3, 4, 5))
-
+    state0 = _init_state(ox, oy, oz, dx, dy, dz, valid0, gmax, n=n,
+                         levels=levels, clip=config.clip_box)
     # ---------------- shading data (sorted by hit column) ----------------
-    ts = jnp.where(hit, t_hit, 0.0)
-    px = ox + ts * dx
-    py = oy + ts * dy
-    pz = oz + ts * dz
-    fx = jnp.clip(px - hx.astype(jnp.float32), 0.0, 1.0)
-    fy = jnp.clip(py - hy.astype(jnp.float32), 0.0, 1.0)
-    key_h = jnp.where(hit, (hy >> 5) * m5 + (hx >> 5), BIG_KEY)
     if sort_mode in (1, 3):
+        # payload-sort experiment path: march results invert to launch
+        # order inside full_march, the shade sort carries its planes
+        # through the sort network, and the shadow start state is built
+        # in launch order then pre-permuted (the historical flow)
+        hit, t_hit, hx, hy = full_march(rays, state0, prefixes_n=prefixes,
+                                        sort_ray_planes=(3, 4, 5))
+        ts = jnp.where(hit, t_hit, 0.0)
+        px = ox + ts * dx
+        py = oy + ts * dy
+        pz = oz + ts * dz
+        fx = jnp.clip(px - hx.astype(jnp.float32), 0.0, 1.0)
+        fy = jnp.clip(py - hy.astype(jnp.float32), 0.0, 1.0)
+        key_h = jnp.where(hit, (hy >> 5) * m5 + (hx >> 5), BIG_KEY)
         out = jax.lax.sort((key_h, jnp.arange(P, dtype=jnp.int32),
                             hit.astype(jnp.int32), hx, hy, fx, fy),
                            num_keys=1, is_stable=False)
         perm_h = out[1]
         hcols = list(out[2:])
+        # invert by scatter (an argsort of perm_h costs a full second
+        # sort; the scatter is one cheap row write)
+        inv_h = jnp.zeros(P, jnp.int32).at[perm_h].set(
+            jnp.arange(P, dtype=jnp.int32))
+        shaded = shade_pass(shade_b, albedo_b, *hcols, m5=m5,
+                            textured=bool(config.texture
+                                          and albedo_b is not None),
+                            interpret=interpret)
+        srows = jnp.take(_pack_rows(*shaded), inv_h, axis=0)
+        nx_s, ny_s, nz_s, ar, ag, ab = [srows[:, i] for i in range(6)]
     else:
+        # FOLDED-INVERSION flow (round 5): the march returns its results
+        # in round-final order together with the composed launch-pid
+        # permutation, the shade key/sort run directly on march-order
+        # planes (elementwise math commutes with any permutation
+        # bit-exactly; argsort equal-key order is pure serving policy),
+        # and ONE inversion gather at the end carries everything the
+        # launch-order color math consumes. This deletes the march's
+        # (P,4) inversion gather + scatter and merges the shading
+        # inversion into the same row gather; with shadows on, the hit
+        # positions ride the shade gather so the shadow start state is
+        # built in hit-sorted order (no pre-permute gather) and the
+        # shadow march's inversion collapses to one plane scatter.
+        res_m, rays_m, pid_m = full_march(rays, state0,
+                                          prefixes_n=prefixes,
+                                          sort_ray_planes=(3, 4, 5),
+                                          return_sorted=True)
+        if pid_m is None:
+            pid_m = jnp.arange(P, dtype=jnp.int32)
+        hit_m = res_m[0] != 0
+        t_hit_m, hx_m, hy_m = res_m[1], res_m[2], res_m[3]
+        dx_m, dy_m, dz_m = rays_m[3], rays_m[4], rays_m[5]
+        ts_m = jnp.where(hit_m, t_hit_m, 0.0)
+        px_m = ox + ts_m * dx_m   # ox/oy/oz are broadcast eye planes
+        py_m = oy + ts_m * dy_m
+        pz_m = oz + ts_m * dz_m
+        fx_m = jnp.clip(px_m - hx_m.astype(jnp.float32), 0.0, 1.0)
+        fy_m = jnp.clip(py_m - hy_m.astype(jnp.float32), 0.0, 1.0)
+        key_h = jnp.where(hit_m, (hy_m >> 5) * m5 + (hx_m >> 5), BIG_KEY)
         perm_h = jnp.argsort(key_h)
-        hrows = _pack_rows(hit.astype(jnp.int32), hx, hy, fx, fy)
-        hrows_s = jnp.take(hrows, perm_h, axis=0)
-        hcols = _unpack_rows(hrows_s, [jnp.int32] * 3 + [jnp.float32] * 2)
-    # invert by scatter (an argsort of perm_h costs a full second sort;
-    # the scatter is one cheap row write)
-    inv_h = jnp.zeros(P, jnp.int32).at[perm_h].set(
-        jnp.arange(P, dtype=jnp.int32))
-    shaded = shade_pass(shade_b, albedo_b, *hcols, m5=m5,
-                        textured=bool(config.texture and albedo_b is not None),
-                        interpret=interpret)
-    srows = jnp.take(_pack_rows(*shaded), inv_h, axis=0)
-    nx_s, ny_s, nz_s, ar, ag, ab = [srows[:, i] for i in range(6)]
+        hplanes = [pid_m, res_m[0], hx_m, hy_m, t_hit_m, fx_m, fy_m]
+        if config.shadows:
+            hplanes += [px_m, py_m, pz_m]
+        hrows_s = jnp.take(_pack_rows(*hplanes), perm_h, axis=0)
+        cols = _unpack_rows(hrows_s, [jnp.int32] * 4
+                            + [jnp.float32] * (len(hplanes) - 4))
+        pid_h = cols[0]
+        hcols = [cols[1], cols[2], cols[3], cols[5], cols[6]]
+        t_hit_h = cols[4]
+        pos_s = cols[7:]
+        shaded = shade_pass(shade_b, albedo_b, *hcols, m5=m5,
+                            textured=bool(config.texture
+                                          and albedo_b is not None),
+                            interpret=interpret)
+        inv_h = jnp.zeros(P, jnp.int32).at[pid_h].set(
+            jnp.arange(P, dtype=jnp.int32))
+        frows = jnp.take(_pack_rows(cols[1], t_hit_h, *shaded),
+                         inv_h, axis=0)
+        fcols = _unpack_rows(frows, [jnp.int32] + [jnp.float32] * 7)
+        hit = fcols[0] != 0
+        t_hit = fcols[1]
+        nx_s, ny_s, nz_s, ar, ag, ab = fcols[2:]
+        ts = jnp.where(hit, t_hit, 0.0)
 
     lx, ly, lz = light.sun_dir[0], light.sun_dir[1], light.sun_dir[2]
     diff = sh.lambert(nx_s, ny_s, nz_s, lx, ly, lz)
@@ -1062,30 +1172,65 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
     # ---------------- shadows: reuse the hit-column ordering --------------
     occ = jnp.zeros(P, bool)
     if config.shadows:
-        sxo = px + lx * SHADOW_EPS + nx_s * SHADOW_EPS
-        syo = py + ly * SHADOW_EPS + ny_s * SHADOW_EPS
-        szo = pz + lz * SHADOW_EPS + nz_s * SHADOW_EPS
-        srays = (jnp.where(hit, sxo, -1e6), jnp.where(hit, syo, -1e6), szo,
-                 jnp.broadcast_to(lx, (P,)), jnp.broadcast_to(ly, (P,)),
-                 jnp.broadcast_to(lz, (P,)))
-        sstate = _init_state(*srays, hit, gmax, n=n, levels=levels,
-                             clip=config.clip_box, m=m,
-                             start_cell=(hx, hy))
         # shadow rays start at the primary hit cells, whose column order
-        # is exactly the shade pass's hit sort — pre-permute by perm_h
-        # (one 8-plane row gather) and skip the shadow march's round-0
-        # argsort + 12-plane gather entirely (perm0 handles inversion)
-        sp = jnp.take(_pack_rows(*srays[:3], *sstate), perm_h, axis=0)
-        spc = _unpack_rows(sp, [jnp.float32] * 3 + state_dts)
-        srays = tuple(spc[:3]) + srays[3:]
-        sstate = tuple(spc[3:])
-        shit, _, _, _ = full_march(
-            srays, sstate, skip_pass0=True,
-            rounds_n=(len(shadow_prefixes) if shadow_prefixes is not None
-                      else min(rounds, 2)),
-            prefixes_n=shadow_prefixes,
-            sort_ray_planes=(0, 1, 2), perm0=perm_h)
-        occ = shit
+        # is exactly the shade pass's hit sort — build them DIRECTLY in
+        # hit-sorted order (hit positions rode the hrows gather as 3
+        # extra columns; normals are the shade pass's sorted output;
+        # _init_state is elementwise, so evaluating it after the
+        # permutation is bit-identical to permuting its launch-order
+        # output) and skip both the shadow march's round-0 sort and the
+        # old separate 8-plane pre-permute gather (perm0 inverts at the
+        # end). The payload-sort modes (1/3) keep the launch-order +
+        # pre-permute path: their shade gather has no column to ride.
+        if sort_mode in (1, 3):
+            sxo = px + lx * SHADOW_EPS + nx_s * SHADOW_EPS
+            syo = py + ly * SHADOW_EPS + ny_s * SHADOW_EPS
+            szo = pz + lz * SHADOW_EPS + nz_s * SHADOW_EPS
+            srays = (jnp.where(hit, sxo, -1e6), jnp.where(hit, syo, -1e6),
+                     szo,
+                     jnp.broadcast_to(lx, (P,)), jnp.broadcast_to(ly, (P,)),
+                     jnp.broadcast_to(lz, (P,)))
+            sstate = _init_state(*srays, hit, gmax, n=n, levels=levels,
+                                 clip=config.clip_box, m=m,
+                                 start_cell=(hx, hy))
+            sp = jnp.take(_pack_rows(*srays[:3], *sstate), perm_h, axis=0)
+            spc = _unpack_rows(sp, [jnp.float32] * 3 + state_dts)
+            srays = tuple(spc[:3]) + srays[3:]
+            sstate = tuple(spc[3:])
+            shit, _, _, _ = full_march(
+                srays, sstate, skip_pass0=True,
+                rounds_n=(len(shadow_prefixes)
+                          if shadow_prefixes is not None
+                          else min(rounds, 2)),
+                prefixes_n=shadow_prefixes,
+                sort_ray_planes=(0, 1, 2), perm0=perm_h)
+            occ = shit
+        else:
+            px_s, py_s, pz_s = pos_s
+            hit_s = hcols[0] != 0
+            sxo_s = px_s + lx * SHADOW_EPS + shaded[0] * SHADOW_EPS
+            syo_s = py_s + ly * SHADOW_EPS + shaded[1] * SHADOW_EPS
+            szo_s = pz_s + lz * SHADOW_EPS + shaded[2] * SHADOW_EPS
+            srays = (jnp.where(hit_s, sxo_s, -1e6),
+                     jnp.where(hit_s, syo_s, -1e6), szo_s,
+                     jnp.broadcast_to(lx, (P,)), jnp.broadcast_to(ly, (P,)),
+                     jnp.broadcast_to(lz, (P,)))
+            sstate = _init_state(*srays, hit_s, gmax, n=n, levels=levels,
+                                 clip=config.clip_box, m=m,
+                                 start_cell=(hcols[1], hcols[2]))
+            # perm0 seeds the shadow march's composed permutation with
+            # the launch pids, so its round-final pid plane scatters the
+            # occlusion bits straight back to launch order — no (P,4)
+            # inversion gather at all
+            sres, _, spid = full_march(
+                srays, sstate, skip_pass0=True,
+                rounds_n=(len(shadow_prefixes)
+                          if shadow_prefixes is not None
+                          else min(rounds, 2)),
+                prefixes_n=shadow_prefixes,
+                sort_ray_planes=(0, 1, 2), perm0=pid_h,
+                return_sorted=True)
+            occ = (jnp.zeros(P, jnp.int32).at[spid].set(sres[0]) != 0)
         diff = jnp.where(occ, 0.0, diff)
 
     # ---------------- final color math (fused XLA elementwise) ------------
@@ -1213,7 +1358,13 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     isolated payload sort WINS by 90 ms/full-P round on micro_sort yet
     mode 1 lost 150 ms/frame on the r5 sweep). The permutation differs
     only in equal-key order, which is pure serving policy — all modes
-    are exact.
+    are exact. 4 = SLIM FUSED argsort + row gather: planes live in
+    disjoint lane states share a column (hx/hy==icx/icy at hit, t_hit
+    overwrites the dead march t, alive/lvl/hit pack to 7 bits) and the
+    perm_tot composition rides as a pid column, so each resort gathers
+    8 columns in ONE take instead of 12 + a separate full-plane take.
+    Bit-exact: merged slots are dead-lane state (never observable —
+    serving keys are alive-masked) or restored by the unpack selects.
 
     relax: RELAXED tail stride in cells (0 = exact, the default). When
     set, the final tail round samples the cell surface every `relax`

@@ -310,6 +310,41 @@ def test_compact_unroll_parity(scene128c):
                                   np.asarray(f4.color))
 
 
+def test_compact_sort_mode_slim(scene128c):
+    """sort_mode=4 (slim fused row gather) merges the state/result
+    planes whose values live in disjoint lane states into shared columns
+    and rides the perm_tot composition as a pid column. It uses the
+    IDENTICAL argsort permutation as mode 0, so images must be
+    BIT-identical to mode 0 (stronger than oracle parity), on the plain
+    path and on the production prefix/band path — and oracle-exact."""
+    scene, terr = scene128c
+    cam = _cam(terr)
+    cases = [
+        (RenderConfig(width=128, height=32, shading="phong", shadows=True,
+                      fog=True),
+         dict()),
+        (RenderConfig(width=128, height=32, shadows=True),
+         dict(band_tail=8, l0_tail="auto", sort_dir=1,
+              round_prefixes=(0, 2048, 1024), shadow_prefixes=(0, 1024))),
+    ]
+    for cfg, kw in cases:
+        f0 = render_frame_compact(scene, scene.packed, cam, cfg,
+                                  interpret=INTERPRET, unroll=UNROLL,
+                                  sort_mode=0, **kw)
+        f4 = render_frame_compact(scene, scene.packed, cam, cfg,
+                                  interpret=INTERPRET, unroll=UNROLL,
+                                  sort_mode=4, **kw)
+        np.testing.assert_array_equal(np.asarray(f4.hit),
+                                      np.asarray(f0.hit))
+        np.testing.assert_array_equal(np.asarray(f4.color),
+                                      np.asarray(f0.color))
+        fo = render_frame_oracle(scene, cam, cfg)
+        np.testing.assert_array_equal(np.asarray(f4.hit),
+                                      np.asarray(fo.hit))
+        assert np.abs(np.asarray(f4.color)
+                      - np.asarray(fo.color)).max() < 5e-5
+
+
 def test_compact_sort_mode_payload(scene128c):
     """sort_mode=1 replaces argsort + f32 row-matrix gather with one
     lax.sort carrying iota + the state/result planes as payload. The
