@@ -758,7 +758,7 @@ def _unpack_rows(rows, dtypes):
                                     "unroll", "full_height",
                                     "prefixes", "shadow_prefixes",
                                     "sort_dir", "relax", "banks",
-                                    "coarse0", "sort_mode"))
+                                    "coarse0", "sort_mode", "fold_inv"))
 def _render_compact_jit(camera, light, coarse, columns, shade_b,
                         albedo_b, gmax, *, config: RenderConfig, n, m,
                         levels, m5, l32, interpret, first_budget=96,
@@ -767,7 +767,7 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
                         unroll=1, row0=None, full_height=None,
                         prefixes=None, shadow_prefixes=None,
                         sort_dir=0, relax=0, banks=1, coarse0=None,
-                        sort_mode=0):
+                        sort_mode=0, fold_inv=True):
     H, W = config.height, config.width
     LB = LANES * banks   # kernel block granularity (see march_pass banks)
     P = -(-H * W // LB) * LB
@@ -1082,8 +1082,14 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
 
     state0 = _init_state(ox, oy, oz, dx, dy, dz, valid0, gmax, n=n,
                          levels=levels, clip=config.clip_box)
+    # legacy flow: march inverts to launch order internally, shading
+    # re-sorts + inverts separately, shadows pre-permute. The payload
+    # sort modes require it (their shade sort has no column to ride);
+    # fold_inv=False selects it for the other modes as the paired
+    # A/B control of the folded-inversion experiment.
+    legacy_flow = sort_mode in (1, 3) or not fold_inv
     # ---------------- shading data (sorted by hit column) ----------------
-    if sort_mode in (1, 3):
+    if legacy_flow:
         # payload-sort experiment path: march results invert to launch
         # order inside full_march, the shade sort carries its planes
         # through the sort network, and the shadow start state is built
@@ -1182,7 +1188,7 @@ def _render_compact_jit(camera, light, coarse, columns, shade_b,
         # old separate 8-plane pre-permute gather (perm0 inverts at the
         # end). The payload-sort modes (1/3) keep the launch-order +
         # pre-permute path: their shade gather has no column to ride.
-        if sort_mode in (1, 3):
+        if legacy_flow:
             sxo = px + lx * SHADOW_EPS + nx_s * SHADOW_EPS
             syo = py + ly * SHADOW_EPS + ny_s * SHADOW_EPS
             szo = pz + lz * SHADOW_EPS + nz_s * SHADOW_EPS
@@ -1282,7 +1288,8 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
                          relax: int = 0,
                          banks: int | None = None,
                          coarse0: int | None = None,
-                         sort_mode: int = 0) -> Frame:
+                         sort_mode: int = 4,
+                         fold_inv: bool = False) -> Frame:
     """Compacted-wavefront render (see module docstring).
 
     first_budget/rounds/round_budget/n_col: compaction schedule — the
@@ -1348,7 +1355,7 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     r4 next #5). Any value is exact — the guard/unbudgeted rounds
     complete whatever pass 0 leaves.
 
-    sort_mode: how each resort permutes the lanes. 0 (default) =
+    sort_mode: how each resort permutes the lanes. 0 =
     jnp.argsort + f32 row-matrix pack + (P,12) row-gather; 1 = one
     lax.sort(num_keys=1) carrying iota + the 12 state/result planes as
     payload operands (i32 planes ride natively — no value converts, no
@@ -1358,13 +1365,30 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
     isolated payload sort WINS by 90 ms/full-P round on micro_sort yet
     mode 1 lost 150 ms/frame on the r5 sweep). The permutation differs
     only in equal-key order, which is pure serving policy — all modes
-    are exact. 4 = SLIM FUSED argsort + row gather: planes live in
-    disjoint lane states share a column (hx/hy==icx/icy at hit, t_hit
-    overwrites the dead march t, alive/lvl/hit pack to 7 bits) and the
-    perm_tot composition rides as a pid column, so each resort gathers
-    8 columns in ONE take instead of 12 + a separate full-plane take.
-    Bit-exact: merged slots are dead-lane state (never observable —
-    serving keys are alive-masked) or restored by the unpack selects.
+    are exact. 4 (DEFAULT since round 5) = SLIM FUSED argsort + row
+    gather: planes live in disjoint lane states share a column
+    (hx/hy==icx/icy at hit, t_hit overwrites the dead march t,
+    alive/lvl/hit pack to 7 bits) and the perm_tot composition rides
+    as a pid column, so each resort gathers 8 columns in ONE take
+    instead of 12 + a separate full-plane take. Bit-exact: merged
+    slots are dead-lane state (never observable — serving keys are
+    alive-masked) or restored by the unpack selects. Measured B3
+    paired (one process, shipping defaults): mode 0 1058 / mode 4
+    967 ms (-8.6%, BENCH_NOTES round-5 slim-gather battery).
+
+    fold_inv: False (default) = the march inverts to launch order
+    internally, shading re-sorts + inverts separately, shadows
+    pre-permute by the shade permutation. True = the FOLDED-INVERSION
+    experiment (post-mortem #14): the march returns round-final order
+    + the composed launch-pid map, the shade sort runs on march-order
+    planes, one final gather restores launch order, and shadows start
+    in hit-sorted order and scatter occlusion straight back — fewer
+    but wider gathers, measured +27 ms at mode 4 (994 vs 967) and +5
+    at mode 0 (1063 vs 1058): Mosaic's gather cost is per-invocation
+    AND fusion-structure bound, so deleting two narrow gathers while
+    widening the survivors does not pay (the #13 lesson again). Both
+    flows are exact (hit masks equal the oracle's; equal-key sort
+    order differs, so images are bit-identical only within one flow).
 
     relax: RELAXED tail stride in cells (0 = exact, the default). When
     set, the final tail round samples the cell surface every `relax`
@@ -1430,4 +1454,4 @@ def render_frame_compact(scene: Scene, packed: PackedScene, camera: Camera,
         unroll=unroll, row0=row0, full_height=full_height,
         prefixes=round_prefixes, shadow_prefixes=shadow_prefixes,
         sort_dir=sort_dir, relax=int(relax), banks=banks,
-        coarse0=coarse0, sort_mode=sort_mode)
+        coarse0=coarse0, sort_mode=sort_mode, fold_inv=fold_inv)

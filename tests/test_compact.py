@@ -345,6 +345,26 @@ def test_compact_sort_mode_slim(scene128c):
                       - np.asarray(fo.color)).max() < 5e-5
 
 
+def test_compact_fold_inv(scene128c):
+    """fold_inv=True (the folded-inversion experiment, post-mortem #14:
+    the march returns round-final order + the composed pid map; one
+    final gather restores launch order; shadows scatter straight back)
+    must stay oracle-exact. It argsorts differently-ordered planes, so
+    equal-key permutations — and hence images — are NOT bit-identical
+    to the default flow; the oracle hit mask is the exactness bar."""
+    scene, terr = scene128c
+    cam = _cam(terr)
+    cfg = RenderConfig(width=128, height=32, shading="phong",
+                       shadows=True, fog=True)
+    ff = render_frame_compact(scene, scene.packed, cam, cfg,
+                              interpret=INTERPRET, unroll=UNROLL,
+                              fold_inv=True)
+    fo = render_frame_oracle(scene, cam, cfg)
+    np.testing.assert_array_equal(np.asarray(ff.hit), np.asarray(fo.hit))
+    assert np.abs(np.asarray(ff.color)
+                  - np.asarray(fo.color)).max() < 5e-5
+
+
 def test_compact_sort_mode_payload(scene128c):
     """sort_mode=1 replaces argsort + f32 row-matrix gather with one
     lax.sort carrying iota + the state/result planes as payload. The

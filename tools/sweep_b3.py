@@ -50,10 +50,11 @@ def main():
         # Reject anything longer: the retired pre-r4 batteries used a
         # 13-field grammar whose strings misparse here (e.g. unroll=0 =>
         # infinite while_loop) — ADVICE r4 #1.
-        if len(sched) > 13:
+        if len(sched) > 14:
             raise ValueError(f"schedule has {len(sched)} fields; the "
                              "current grammar is fb,r,rb,nc,l0,unroll,"
-                             "sub,band,sdir,relax[,banks[,coarse0[,sortm]]]")
+                             "sub,band,sdir,relax[,banks[,coarse0"
+                             "[,sortm[,foldinv]]]]")
         fb, r, rb, nc = sched[:4]
         # 0=off, 1=on, 2=adaptive ("auto")
         l0 = ([False, True, "auto"][int(sched[4])]
@@ -66,7 +67,8 @@ def main():
         banks = int(sched[10]) if len(sched) > 10 else 1
         c0 = int(sched[11]) if len(sched) > 11 else -1
         coarse0 = None if c0 < 0 else c0
-        sortm = int(sched[12]) if len(sched) > 12 else 0
+        sortm = int(sched[12]) if len(sched) > 12 else 4
+        foldinv = bool(int(sched[13])) if len(sched) > 13 else False
         cam = Camera(eye=cam0.eye + salt, target=cam0.target, up=cam0.up,
                      fov_y=cam0.fov_y)
         if isinstance(nc, tuple) and len(nc) == 1:
@@ -80,7 +82,8 @@ def main():
                                   shadow_prefixes=spref,
                                   sort_dir=sdir,
                                   relax=relax, banks=banks,
-                                  coarse0=coarse0, sort_mode=sortm)
+                                  coarse0=coarse0, sort_mode=sortm,
+                                  fold_inv=foldinv)
         return float(jnp.sum(fr.color[::16, ::16]))
 
     P = -(-w * h // 1024) * 1024
